@@ -1,0 +1,481 @@
+"""SnapshotTable: bucketed-Parquet table with atomic JSON-manifest snapshots.
+
+Scale design (the part that must survive 100 TB / 10^10 events):
+
+- Data is hash-bucketed on the leading key column (``pmod(xxhash64(conv_id), B)``).
+  All turns of a conversation land in one bucket, so keyed MERGE, per-conversation
+  windows, and cascade deletes are bucket-local. ``B`` is fixed per table and sized at
+  creation (tests use 8-32; a 100 TB table would use 4096+ so each bucket is a few GB).
+- MERGE is copy-on-write **per touched bucket**: only buckets that the incoming batch
+  writes keys into are read back and rewritten; untouched buckets carry their existing
+  files forward by reference in the new manifest. A micro-batch touching 1% of keys
+  rewrites ~1% of the table, not all of it.
+- A snapshot manifest is a single small JSON file listing every live data file per
+  bucket plus the table schema and the set of committed epoch ids. Commit is an
+  exclusive-create write of ``snapshot-<n>.json`` — atomic on a POSIX filesystem; on an
+  object store the same scheme is a compare-and-swap (Iceberg's optimistic commit).
+  Readers always see a complete snapshot or the previous one, never a torn write.
+- Schema evolution is additive: new columns widen the manifest schema; old files are
+  read with the widened schema and Spark's Parquet reader null-fills missing columns.
+
+Reference parity anchors: delete-then-insert keyed upsert
+(mapper/ConditionMapper.java:131-140, mapper/PatientMapper.java:132-142), tombstones
+(model/FhirPsqlResource.java:30-32), truncate-and-reload bulk mode
+(listeners/PatientStepListener.java:57-84), scoped cleanup
+(single_step/single_step_clean_up_diagnosis_data.sql:1-41), ADD COLUMN IF NOT EXISTS
+(pre_processing/pre_process_alter_tables.sql:4-17).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+BUCKET_COL = "_bucket"
+LSN_COL = "_lsn"
+MANIFEST_DIR = "_manifests"
+DATA_DIR = "data"
+
+
+def _bucket_expr(key_col: str, num_buckets: int):
+    """Deterministic bucket id for a key — same function everywhere (write, merge,
+    delete) or co-location silently breaks."""
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_buckets)).cast("int")
+
+
+@dataclass
+class MergeResult:
+    epoch_id: str
+    skipped: bool = False
+    touched_buckets: list[int] = field(default_factory=list)
+    rows_upserted: int = 0
+    rows_deleted: int = 0
+    conflict_count: int = 0
+    snapshot_id: int | None = None
+
+
+class SnapshotTable:
+    """A single keyed table under ``root`` with snapshot isolation.
+
+    Layout::
+
+        root/
+          _manifests/snapshot-00000042.json   # atomic commit unit
+          data/<uuid>/_bucket=K/part-*.parquet
+
+    Single-writer (the epoch manager serializes commits); many concurrent readers.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # ---------------------------------------------------------------- create/load
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType,
+        key_cols: list[str],
+        num_buckets: int = 16,
+        order_cols: list[str] | None = None,
+    ) -> "SnapshotTable":
+        """Create an empty table (snapshot 0). ``order_cols`` is the LWW total order
+        (default ``[ts, _lsn]``) — must be total or replays diverge (SURVEY §7.3)."""
+        os.makedirs(os.path.join(root, MANIFEST_DIR), exist_ok=True)
+        os.makedirs(os.path.join(root, DATA_DIR), exist_ok=True)
+        tbl = cls(spark, root)
+        if tbl.current_snapshot_id() is not None:
+            raise FileExistsError(f"table already exists at {root}")
+        if LSN_COL not in [f.name for f in schema]:
+            # the LWW tie-break column is always persisted (SURVEY §7.3: the total
+            # order must include the LSN or replays diverge on equal timestamps)
+            schema = T.StructType(list(schema) + [T.StructField(LSN_COL, T.LongType(), True)])
+        manifest = {
+            "snapshot_id": 0,
+            "parent_id": None,
+            "epoch_id": None,
+            "schema": json.loads(schema.json()),
+            "key_cols": key_cols,
+            "order_cols": order_cols or ["ts", LSN_COL],
+            "num_buckets": num_buckets,
+            "files": {},
+            "committed_epochs": [],
+            "properties": {"format-version": "1"},
+        }
+        tbl._write_manifest(manifest)
+        return tbl
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "SnapshotTable":
+        tbl = cls(spark, root)
+        if tbl.current_snapshot_id() is None:
+            raise FileNotFoundError(f"no table at {root}")
+        return tbl
+
+    @classmethod
+    def exists(cls, root: str) -> bool:
+        d = os.path.join(root, MANIFEST_DIR)
+        return os.path.isdir(d) and any(
+            f.startswith("snapshot-") for f in os.listdir(d)
+        )
+
+    # ---------------------------------------------------------------- manifests
+
+    def _manifest_path(self, snapshot_id: int) -> str:
+        return os.path.join(self.root, MANIFEST_DIR, f"snapshot-{snapshot_id:08d}.json")
+
+    def current_snapshot_id(self) -> int | None:
+        d = os.path.join(self.root, MANIFEST_DIR)
+        if not os.path.isdir(d):
+            return None
+        ids = [
+            int(f[len("snapshot-") : -len(".json")])
+            for f in os.listdir(d)
+            if f.startswith("snapshot-") and f.endswith(".json")
+        ]
+        return max(ids) if ids else None
+
+    def manifest(self, snapshot_id: int | None = None) -> dict:
+        sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
+        if sid is None:
+            raise FileNotFoundError(f"no snapshots under {self.root}")
+        with open(self._manifest_path(sid)) as fh:
+            return json.load(fh)
+
+    def _write_manifest(self, manifest: dict) -> int:
+        """Atomic commit: exclusive-create of the next snapshot file. A concurrent
+        writer racing for the same snapshot id loses with FileExistsError (the
+        optimistic-concurrency conflict an Iceberg commit would surface)."""
+        path = self._manifest_path(manifest["snapshot_id"])
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            # link() is exclusive-create; rename() would silently clobber a racer.
+            os.link(tmp, path)
+        finally:
+            os.unlink(tmp)
+        return manifest["snapshot_id"]
+
+    # ---------------------------------------------------------------- properties
+
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(self.manifest()["schema"])
+
+    def user_schema(self) -> T.StructType:
+        return T.StructType([f for f in self.schema() if f.name != LSN_COL])
+
+    def key_cols(self) -> list[str]:
+        return self.manifest()["key_cols"]
+
+    def num_buckets(self) -> int:
+        return self.manifest()["num_buckets"]
+
+    def committed_epochs(self) -> list[str]:
+        return self.manifest()["committed_epochs"]
+
+    def has_epoch(self, epoch_id: str) -> bool:
+        return str(epoch_id) in set(self.manifest()["committed_epochs"])
+
+    # ---------------------------------------------------------------- read
+
+    def _abs(self, rel: str) -> str:
+        return os.path.join(self.root, rel)
+
+    def read(
+        self,
+        snapshot_id: int | None = None,
+        buckets: list[int] | None = None,
+        include_meta: bool = False,
+    ) -> DataFrame:
+        """Snapshot read. Explicit schema → Spark null-fills columns that predate a
+        file (additive evolution); column pruning & filter pushdown still apply."""
+        m = self.manifest(snapshot_id)
+        schema = T.StructType.fromJson(m["schema"])
+        files: list[str] = []
+        for b, fs in m["files"].items():
+            if buckets is None or int(b) in buckets:
+                files.extend(self._abs(f) for f in fs)
+        if not files:
+            df = self.spark.createDataFrame([], schema)
+        else:
+            df = self.spark.read.schema(schema).parquet(*files)
+        if not include_meta and LSN_COL in df.columns:
+            df = df.drop(LSN_COL)
+        return df
+
+    # ---------------------------------------------------------------- write paths
+
+    def _stage_buckets(self, df: DataFrame, touched: list[int]) -> dict[str, list[str]]:
+        """Write ``df`` (already carrying BUCKET_COL) partitioned by bucket into a
+        fresh uuid staging dir; return {bucket: [relative file paths]}. Staged files
+        become live only when the next manifest references them, so a crash here
+        leaves orphans, never corruption (vacuum() collects them)."""
+        stage_rel = os.path.join(DATA_DIR, uuid.uuid4().hex)
+        stage_abs = self._abs(stage_rel)
+        # One shuffle task per touched bucket: each task writes exactly one file into
+        # its bucket dir. At 100 TB scale use more tasks per bucket (files_per_bucket).
+        (
+            df.repartition(max(len(touched), 1), BUCKET_COL)
+            .write.partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(stage_abs)
+        )
+        out: dict[str, list[str]] = {}
+        if os.path.isdir(stage_abs):
+            for entry in sorted(os.listdir(stage_abs)):
+                if not entry.startswith(f"{BUCKET_COL}="):
+                    continue
+                b = entry.split("=", 1)[1]
+                out[b] = [
+                    os.path.join(stage_rel, entry, f)
+                    for f in sorted(os.listdir(os.path.join(stage_abs, entry)))
+                    if f.endswith(".parquet")
+                ]
+        return out
+
+    def _evolve_schema(self, batch_schema: T.StructType) -> T.StructType:
+        """Additive union of the current table schema and the batch schema (new
+        columns appended, all nullable). Type changes are rejected — same contract as
+        the reference's ADD COLUMN IF NOT EXISTS migrations."""
+        current = self.schema()
+        names = {f.name: f for f in current}
+        out = list(current.fields)
+        for f in batch_schema.fields:
+            if f.name in names:
+                if f.dataType != names[f.name].dataType and f.name != LSN_COL:
+                    raise TypeError(
+                        f"incompatible evolution for column {f.name}: "
+                        f"{names[f.name].dataType} -> {f.dataType}"
+                    )
+            else:
+                out.append(T.StructField(f.name, f.dataType, True))
+        return T.StructType(out)
+
+    def _conform(
+        self, df: DataFrame, schema: T.StructType, carry: list[str] | None = None
+    ) -> DataFrame:
+        """Project ``df`` onto ``schema`` (missing columns → typed NULL), carrying
+        any extra columns named in ``carry`` through unchanged."""
+        cols = [
+            F.col(f.name).cast(f.dataType).alias(f.name) if f.name in df.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema
+        ]
+        cols += [F.col(c) for c in (carry or []) if c in df.columns]
+        return df.select(*cols)
+
+    # ---------------------------------------------------------------- MERGE
+
+    def merge(
+        self,
+        batch: DataFrame,
+        epoch_id: str,
+        op_col: str = "op",
+        lsn_col: str = "lsn",
+    ) -> MergeResult:
+        """Keyed copy-on-write MERGE of a change batch (columns: key_cols + payload +
+        ``op`` ('I'|'U'|'D') + ``lsn`` + order col(s)).
+
+        Semantics (SURVEY §7.1): last write wins per key under the total order
+        (order_cols, then lsn, then batch-beats-existing); ``op='D'`` removes the key
+        (reference tombstone path, PatientMapper.java:132-137). Re-submitting a
+        committed ``epoch_id`` is a no-op (exactly-once under at-least-once delivery).
+        """
+        epoch_id = str(epoch_id)
+        m = self.manifest()
+        if epoch_id in set(m["committed_epochs"]):
+            return MergeResult(epoch_id=epoch_id, skipped=True,
+                               snapshot_id=m["snapshot_id"])
+
+        key_cols = m["key_cols"]
+        order_cols = [c for c in m["order_cols"] if c != LSN_COL]
+        B = m["num_buckets"]
+
+        batch = batch.withColumn(LSN_COL, F.col(lsn_col).cast("long"))
+        payload_schema = T.StructType(
+            [f for f in batch.schema if f.name not in (op_col, lsn_col)]
+        )
+        new_schema = self._evolve_schema(payload_schema)
+
+        batch = batch.withColumn(BUCKET_COL, _bucket_expr(key_cols[0], B))
+        # Touched-bucket discovery: tiny collect (≤ B ints), driver-side by design —
+        # it is the pruning decision, the analog of Iceberg partition pruning.
+        touched = sorted(
+            r[0] for r in batch.select(BUCKET_COL).distinct().collect()
+        )
+
+        existing = (
+            self._conform(self.read(buckets=touched, include_meta=True), new_schema)
+            .withColumn(op_col, F.lit("U"))
+            .withColumn("_src", F.lit(0))
+            .withColumn(BUCKET_COL, _bucket_expr(key_cols[0], B))
+        )
+        incoming = (
+            self._conform(batch, new_schema, carry=[op_col])
+            .withColumn("_src", F.lit(1))
+            .withColumn(BUCKET_COL, _bucket_expr(key_cols[0], B))
+        )
+
+        combined = existing.unionByName(incoming)
+        # LWW total order: order_cols desc, then _lsn desc, then batch over existing.
+        w = Window.partitionBy(*key_cols).orderBy(
+            *[F.col(c).desc_nulls_last() for c in order_cols],
+            F.col(LSN_COL).desc_nulls_last(),
+            F.col("_src").desc(),
+        )
+        resolved = (
+            combined.withColumn("_rn", F.row_number().over(w))
+            .withColumn(
+                "_n_batch",
+                F.sum(F.col("_src")).over(Window.partitionBy(*key_cols)),
+            )
+        )
+        # Persist winners: both the data files and the lineage stats derive from it,
+        # and recomputing the window twice would double the epoch's shuffle cost.
+        winners = resolved.filter(F.col("_rn") == 1).persist()
+        try:
+            final = winners.filter(F.col(op_col) != "D").select(
+                *[f.name for f in new_schema], BUCKET_COL
+            )
+            staged = self._stage_buckets(final, touched)
+            # Conflict = a key that received >1 change in this batch (LWW losers),
+            # the analog of the reference's overwritten delete-then-insert rows.
+            stats = winners.agg(
+                F.count(
+                    F.when((F.col("_src") == 1) & (F.col(op_col) != "D"), 1)
+                ).alias("up"),
+                F.count(F.when(F.col(op_col) == "D", 1)).alias("del"),
+                F.sum(
+                    F.when(F.col("_n_batch") > 1, F.col("_n_batch") - 1).otherwise(0)
+                ).alias("conf"),
+            ).collect()[0]
+        finally:
+            winners.unpersist()
+
+        files = dict(m["files"])
+        for b in touched:
+            files[str(b)] = staged.get(str(b), [])
+        new_manifest = {
+            **m,
+            "snapshot_id": m["snapshot_id"] + 1,
+            "parent_id": m["snapshot_id"],
+            "epoch_id": epoch_id,
+            "schema": json.loads(new_schema.json()),
+            "files": files,
+            "committed_epochs": m["committed_epochs"] + [epoch_id],
+        }
+        sid = self._write_manifest(new_manifest)
+        return MergeResult(
+            epoch_id=epoch_id,
+            touched_buckets=touched,
+            rows_upserted=int(stats["up"] or 0),
+            rows_deleted=int(stats["del"] or 0),
+            conflict_count=int(stats["conf"] or 0),
+            snapshot_id=sid,
+        )
+
+    # ---------------------------------------------------------------- bulk paths
+
+    def overwrite(self, df: DataFrame, epoch_id: str = "bulk") -> MergeResult:
+        """Truncate-and-reload (reference bulk mode, PatientStepListener.java:77-84):
+        replace all data with a LWW-compacted snapshot of ``df`` (same batch columns
+        as merge). Epoch ledger resets — a bulk load supersedes incremental history."""
+        m = self.manifest()
+        key_cols, B = m["key_cols"], m["num_buckets"]
+        order_cols = [c for c in m["order_cols"] if c != LSN_COL]
+        df = df.withColumn(LSN_COL, F.col("lsn").cast("long"))
+        payload_schema = T.StructType(
+            [f for f in df.schema if f.name not in ("op", "lsn")]
+        )
+        new_schema = self._evolve_schema(payload_schema)
+        w = Window.partitionBy(*key_cols).orderBy(
+            *[F.col(c).desc_nulls_last() for c in order_cols],
+            F.col(LSN_COL).desc_nulls_last(),
+        )
+        compacted = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & (F.col("op") != "D"))
+            .withColumn(BUCKET_COL, _bucket_expr(key_cols[0], B))
+            .select(*[f.name for f in new_schema], BUCKET_COL)
+        )
+        touched = list(range(B))
+        staged = self._stage_buckets(compacted, touched)
+        new_manifest = {
+            **m,
+            "snapshot_id": m["snapshot_id"] + 1,
+            "parent_id": m["snapshot_id"],
+            "epoch_id": str(epoch_id),
+            "schema": json.loads(new_schema.json()),
+            "files": {b: fs for b, fs in staged.items()},
+            "committed_epochs": [str(epoch_id)],
+        }
+        sid = self._write_manifest(new_manifest)
+        return MergeResult(epoch_id=str(epoch_id), touched_buckets=touched,
+                           snapshot_id=sid)
+
+    def delete_where(self, predicate, epoch_id: str) -> MergeResult:
+        """Scoped cleanup (reference single-step re-run: key-prefix DELETE,
+        single_step_clean_up_diagnosis_data.sql:1-41): rewrite every bucket dropping
+        rows matching ``predicate`` (a Column)."""
+        m = self.manifest()
+        if str(epoch_id) in set(m["committed_epochs"]):
+            return MergeResult(epoch_id=str(epoch_id), skipped=True,
+                               snapshot_id=m["snapshot_id"])
+        B = m["num_buckets"]
+        kept = (
+            self.read(include_meta=True)
+            .filter(~predicate)
+            .withColumn(BUCKET_COL, _bucket_expr(m["key_cols"][0], B))
+        )
+        touched = list(range(B))
+        staged = self._stage_buckets(kept, touched)
+        new_manifest = {
+            **m,
+            "snapshot_id": m["snapshot_id"] + 1,
+            "parent_id": m["snapshot_id"],
+            "epoch_id": str(epoch_id),
+            "files": {b: fs for b, fs in staged.items()},
+            "committed_epochs": m["committed_epochs"] + [str(epoch_id)],
+        }
+        sid = self._write_manifest(new_manifest)
+        return MergeResult(epoch_id=str(epoch_id), touched_buckets=touched,
+                           snapshot_id=sid)
+
+    # ---------------------------------------------------------------- maintenance
+
+    def vacuum(self) -> int:
+        """Delete data files not referenced by the current snapshot (orphans from
+        crashed stages / superseded snapshots). Returns count removed. Destroys time
+        travel to older snapshots, like Iceberg's expire_snapshots."""
+        live = set()
+        m = self.manifest()
+        for fs in m["files"].values():
+            live.update(fs)
+        removed = 0
+        data_abs = self._abs(DATA_DIR)
+        for dirpath, _dirnames, filenames in os.walk(data_abs):
+            for f in filenames:
+                p = os.path.join(dirpath, f)
+                rel = os.path.relpath(p, self.root)
+                if f.endswith(".parquet") and rel not in live:
+                    os.unlink(p)
+                    removed += 1
+        # prune empty dirs
+        for dirpath, dirnames, filenames in os.walk(data_abs, topdown=False):
+            if not dirnames and not filenames and dirpath != data_abs:
+                shutil.rmtree(dirpath, ignore_errors=True)
+        return removed

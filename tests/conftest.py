@@ -1,0 +1,14 @@
+"""Shared fixtures: one local SparkSession per test session."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_german_fhir_core_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="tests", master="local[4]", shuffle_partitions=8)
+    yield s
+    s.stop()

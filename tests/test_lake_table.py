@@ -1,0 +1,193 @@
+"""SnapshotTable unit tests: MERGE upsert/tombstone/LWW, idempotent epoch commits,
+schema evolution, scoped delete, bulk overwrite, vacuum.
+
+Reference behaviors under test (SURVEY §2.2/§5): delete-then-insert keyed upsert
+(ConditionMapper.java:131-140), tombstones (FhirPsqlResource.java:30-32), ADD COLUMN
+IF NOT EXISTS evolution (pre_process_alter_tables.sql:4-17), truncate-and-reload
+(PatientStepListener.java:77-84), key-prefix scoped cleanup
+(single_step_clean_up_diagnosis_data.sql:1-41).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_german_fhir_core_spark.lake import SnapshotTable
+
+TS0 = dt.datetime(2025, 1, 1, 0, 0, 0)
+
+
+def _schema():
+    return T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("role", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+
+
+def _batch(spark, rows, with_tool=False):
+    fields = [
+        T.StructField("op", T.StringType(), False),
+        T.StructField("lsn", T.LongType(), False),
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+    if with_tool:
+        fields.append(T.StructField("tool", T.StringType(), True))
+    return spark.createDataFrame(rows, T.StructType(fields))
+
+
+def _state(tbl):
+    return {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in tbl.read().collect()
+    }
+
+
+def test_merge_upsert_tombstone_lww(spark, tmp_path):
+    tbl = SnapshotTable.create(
+        spark, str(tmp_path / "t"), _schema(), ["conv_id", "turn_idx"], num_buckets=4
+    )
+    e1 = _batch(
+        spark,
+        [
+            ("I", 1, "c1", 0, "user", "hello", TS0),
+            ("I", 2, "c1", 1, "assistant", "hi", TS0),
+            ("I", 3, "c2", 0, "user", "bye", TS0),
+        ],
+    )
+    r1 = tbl.merge(e1, epoch_id="1")
+    assert not r1.skipped and r1.rows_upserted == 3
+    assert _state(tbl) == {("c1", 0): "hello", ("c1", 1): "hi", ("c2", 0): "bye"}
+
+    # update + delete + LWW within batch (two updates to same key, later ts wins)
+    e2 = _batch(
+        spark,
+        [
+            ("U", 4, "c1", 0, "user", "hello v2", TS0 + dt.timedelta(seconds=10)),
+            ("U", 5, "c1", 0, "user", "hello v3", TS0 + dt.timedelta(seconds=20)),
+            ("D", 6, "c2", 0, None, None, TS0 + dt.timedelta(seconds=5)),
+        ],
+    )
+    r2 = tbl.merge(e2, epoch_id="2")
+    assert r2.rows_deleted == 1
+    assert r2.conflict_count == 1  # one LWW loser on (c1, 0)
+    assert _state(tbl) == {("c1", 0): "hello v3", ("c1", 1): "hi"}
+
+
+def test_lww_ts_tie_broken_by_lsn(spark, tmp_path):
+    tbl = SnapshotTable.create(
+        spark, str(tmp_path / "t"), _schema(), ["conv_id", "turn_idx"], num_buckets=2
+    )
+    # identical ts, higher lsn must win (SURVEY §7.1 rule 3: total order (ts, lsn))
+    e = _batch(
+        spark,
+        [
+            ("I", 10, "c1", 0, "user", "low-lsn", TS0),
+            ("U", 11, "c1", 0, "user", "high-lsn", TS0),
+        ],
+    )
+    tbl.merge(e, epoch_id="1")
+    assert _state(tbl) == {("c1", 0): "high-lsn"}
+
+
+def test_out_of_order_ts_older_update_loses(spark, tmp_path):
+    tbl = SnapshotTable.create(
+        spark, str(tmp_path / "t"), _schema(), ["conv_id", "turn_idx"], num_buckets=2
+    )
+    tbl.merge(
+        _batch(spark, [("I", 1, "c1", 0, "user", "newest", TS0 + dt.timedelta(60))]),
+        epoch_id="1",
+    )
+    # late-arriving older event must NOT overwrite (reference analog: ordered replay)
+    tbl.merge(
+        _batch(spark, [("U", 2, "c1", 0, "user", "stale", TS0)]),
+        epoch_id="2",
+    )
+    assert _state(tbl) == {("c1", 0): "newest"}
+
+
+def test_idempotent_epoch_replay(spark, tmp_path):
+    tbl = SnapshotTable.create(
+        spark, str(tmp_path / "t"), _schema(), ["conv_id", "turn_idx"], num_buckets=2
+    )
+    e1 = _batch(spark, [("I", 1, "c1", 0, "user", "once", TS0)])
+    tbl.merge(e1, epoch_id="1")
+    sid = tbl.current_snapshot_id()
+    r = tbl.merge(e1, epoch_id="1")  # replay
+    assert r.skipped
+    assert tbl.current_snapshot_id() == sid
+    assert _state(tbl) == {("c1", 0): "once"}
+
+
+def test_schema_evolution_tool_column(spark, tmp_path):
+    tbl = SnapshotTable.create(
+        spark, str(tmp_path / "t"), _schema(), ["conv_id", "turn_idx"], num_buckets=2
+    )
+    tbl.merge(_batch(spark, [("I", 1, "c1", 0, "user", "old", TS0)]), epoch_id="1")
+    assert "tool" not in [f.name for f in tbl.user_schema()]
+    # 'tool' appears mid-stream (north rule additive evolution)
+    e2 = _batch(
+        spark,
+        [("I", 2, "c1", 1, "tool", "call", TS0, "bash")],
+        with_tool=True,
+    )
+    tbl.merge(e2, epoch_id="2")
+    rows = {(r["conv_id"], r["turn_idx"]): r["tool"] for r in tbl.read().collect()}
+    assert rows == {("c1", 0): None, ("c1", 1): "bash"}  # NULL backfill
+    with pytest.raises(TypeError):
+        bad = e2.withColumn("tool", F.lit(1).cast("int"))
+        tbl.merge(bad, epoch_id="3")
+
+
+def test_untouched_buckets_not_rewritten(spark, tmp_path):
+    tbl = SnapshotTable.create(
+        spark, str(tmp_path / "t"), _schema(), ["conv_id", "turn_idx"], num_buckets=8
+    )
+    rows = [("I", i, f"c{i}", 0, "user", f"t{i}", TS0) for i in range(20)]
+    tbl.merge(_batch(spark, rows), epoch_id="1")
+    before = tbl.manifest()["files"]
+    r = tbl.merge(
+        _batch(spark, [("U", 100, "c1", 0, "user", "upd", TS0 + dt.timedelta(1))]),
+        epoch_id="2",
+    )
+    after = tbl.manifest()["files"]
+    assert len(r.touched_buckets) == 1
+    for b, fs in before.items():
+        if int(b) not in r.touched_buckets:
+            assert after[b] == fs  # carried forward by reference, not rewritten
+
+
+def test_overwrite_and_delete_where_and_vacuum(spark, tmp_path):
+    tbl = SnapshotTable.create(
+        spark, str(tmp_path / "t"), _schema(), ["conv_id", "turn_idx"], num_buckets=2
+    )
+    tbl.merge(_batch(spark, [("I", 1, "c1", 0, "user", "x", TS0)]), epoch_id="1")
+    bulk = _batch(
+        spark,
+        [
+            ("I", 1, "c9", 0, "user", "a", TS0),
+            ("U", 2, "c9", 0, "user", "b", TS0 + dt.timedelta(1)),
+            ("I", 3, "c8", 0, "user", "keep", TS0),
+        ],
+    )
+    tbl.overwrite(bulk, epoch_id="bulk1")
+    assert _state(tbl) == {("c9", 0): "b", ("c8", 0): "keep"}
+
+    tbl.delete_where(F.col("conv_id") == "c9", epoch_id="cleanup1")
+    assert _state(tbl) == {("c8", 0): "keep"}
+
+    removed = tbl.vacuum()
+    assert removed > 0
+    assert _state(tbl) == {("c8", 0): "keep"}  # current snapshot intact
