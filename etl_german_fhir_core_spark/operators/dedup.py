@@ -1,0 +1,180 @@
+"""Deduplication operator family for large-scale training-data pipelines.
+
+All variants are pure DataFrame compositions (shuffle-conscious, no Python in the hot
+path except where noted):
+
+- exact: normalize → group on content (or 64-bit fingerprint) → keep min id.
+- n-gram Jaccard: shingle → explode → self-join on shingle → pair-count / union-size.
+- MinHash + LSH: k hash functions via xxhash64(shingle, seed) → min per seed →
+  band signatures → band-bucket self-join → candidate pairs (verify with Jaccard).
+- SimHash: weighted bit-vote over shingle hashes → 64-bit signature → bucket by
+  rotated prefixes for near-match candidates.
+
+Scale notes: the explode self-join is bounded by document shingle counts; LSH keeps
+the candidate set near-linear (band buckets), which is the 100 TB path — exact
+pairwise Jaccard is only for small corpora / verification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_german_fhir_core_spark.functions.text import normalize_text
+
+
+def _shingles(text_col, n: int = 3, word: bool = True):
+    """Word n-gram shingles of the normalized, lowercased text (distinct)."""
+    toks = F.split(F.lower(normalize_text(text_col)), " ")
+    k = F.size(toks) - (n - 1)
+    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return F.when(k > 0, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
+
+
+def dedup_exact(
+    df: DataFrame, id_col: str, text_col: str, use_fingerprint: bool = True
+) -> DataFrame:
+    """Exact dedup on normalized content. ``use_fingerprint`` groups on a 64-bit
+    xxhash64 fingerprint (constant-width shuffle keys — the 100 TB path); otherwise
+    groups on the normalized text itself (oracle-friendly). Returns one surviving row
+    (min id) per content group with the duplicate count."""
+    norm = F.lower(normalize_text(F.col(text_col)))
+    key = F.xxhash64(norm) if use_fingerprint else norm
+    grouped = (
+        df.withColumn("_k", key)
+        .groupBy("_k")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dupes"))
+    )
+    return grouped.drop("_k") if use_fingerprint else grouped.withColumnRenamed("_k", "content_key")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All document pairs with n-gram Jaccard ≥ threshold.
+
+    inverted-index self-join: explode shingles → join on shingle (id1 < id2) →
+    |intersection| per pair → Jaccard via |A|+|B|-|inter|. The shuffle key is the
+    shingle, so a stop-shingle shared by everything is the skew risk — at scale,
+    drop shingles with document frequency above a cap (cheap pre-agg) before the join.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id1"), F.col("b.doc").alias("id2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    s1 = sizes.select(F.col("doc").alias("id1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc").alias("id2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(F.broadcast(s1), "id1")
+        .join(F.broadcast(s2), "id2")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """MinHash + banded LSH candidate pairs (optionally Jaccard-verified).
+
+    signature[i] = min over shingles of xxhash64(shingle, i); band j = hash of its
+    rows; candidates = pairs sharing any band bucket. All JVM-side: the per-seed min
+    is an aggregate over the exploded shingle frame — no Python.
+    """
+    rows_per_band = num_hashes // bands
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    mins = sh.groupBy("doc").agg(
+        *[
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    band_cols = [
+        F.xxhash64(
+            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    sigs = mins.select("doc", *band_cols)
+    buckets = sigs.select(
+        "doc",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket"))
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+    x, y = buckets.alias("x"), buckets.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(F.col("x.doc").alias("id1"), F.col("y.doc").alias("id2"))
+        .distinct()
+    )
+    if verify_threshold is None:
+        return cand
+    verified = ngram_jaccard_pairs(df, id_col, text_col, n, verify_threshold).select(
+        "id1", "id2", "jaccard"
+    )
+    return cand.join(verified, ["id1", "id2"], "inner")
+
+
+def simhash_buckets(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, prefix_bits: int = 16
+) -> DataFrame:
+    """64-bit SimHash per document + a prefix bucket for near-dup candidate grouping.
+
+    bit b of the signature = sign of sum over shingles of (±1 depending on bit b of
+    xxhash64(shingle)). Vectorized as an explode + 64 conditional sums (one shuffle).
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(_shingles(F.col(text_col), n)).alias("shingle"),
+    ).withColumn("h", F.xxhash64("shingle"))
+    votes = sh.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        sig = sig + F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long") * (2**b if b < 63 else -(2**63))).otherwise(0)
+    out = votes.withColumn("simhash", sig).select("doc", "simhash")
+    return out.withColumn(
+        "bucket", F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits)
+    )

@@ -1,0 +1,93 @@
+"""spark-submit entry point: replay a change feed into a SnapshotTable.
+
+Usage:
+  spark-submit --py-files engine.zip jobs/cdc_ingest_job.py \
+      --feed /path/feed_parquet --table /path/table_root \
+      [--epoch-rows 100000] [--events N  # synthesize feed first] \
+      [--num-buckets 16] [--lineage /path/lineage]
+
+The job is restartable: re-submitting after a kill resumes from the last committed
+epoch (manifest = checkpoint). Prints one JSON line with throughput + lineage totals.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--feed", required=True)
+    ap.add_argument("--table", required=True)
+    ap.add_argument("--epoch-rows", type=int, default=100_000)
+    ap.add_argument("--events", type=int, default=0, help="synthesize feed of N events first")
+    ap.add_argument("--num-buckets", type=int, default=16)
+    ap.add_argument("--skew-frac", type=float, default=0.0)
+    ap.add_argument("--lineage", default=None)
+    ap.add_argument("--max-epochs", type=int, default=None)
+    args = ap.parse_args()
+
+    from etl_german_fhir_core_spark.cdc import CdcEngine, synth_feed, write_feed
+    from etl_german_fhir_core_spark.lake import SnapshotTable
+
+    spark = SparkSession.builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.events:
+        write_feed(
+            synth_feed(spark, args.events, n_convs=max(args.events // 100, 10),
+                       skew_frac=args.skew_frac, ooo_frac=0.1),
+            args.feed,
+            n_files=max(spark.sparkContext.defaultParallelism, 8),
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("role", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("tool", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    if SnapshotTable.exists(args.table):
+        tbl = SnapshotTable.load(spark, args.table)
+    else:
+        tbl = SnapshotTable.create(
+            spark, args.table, schema, ["conv_id", "turn_idx"], num_buckets=args.num_buckets
+        )
+
+    eng = CdcEngine(
+        spark, args.feed, tbl, epoch_rows=args.epoch_rows, lineage_path=args.lineage
+    )
+    t0 = time.time()
+    results = eng.run(max_epochs=args.max_epochs)
+    elapsed = time.time() - t0
+    applied = [r for r in results if not r.skipped_commit]
+    events = sum(r.rows_in for r in applied)
+    print(
+        json.dumps(
+            {
+                "epochs_total": len(results),
+                "epochs_applied": len(applied),
+                "events_processed": events,
+                "elapsed_sec": round(elapsed, 2),
+                "events_per_sec": round(events / elapsed, 1) if elapsed > 0 else None,
+                "rows_upserted": sum(r.rows_applied for r in applied),
+                "rows_deleted": sum(r.rows_deleted for r in applied),
+                "conflicts": sum(r.conflict_count for r in applied),
+                "final_rows": tbl.read().count(),
+                "snapshot": tbl.current_snapshot_id(),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
