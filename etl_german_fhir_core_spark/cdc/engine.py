@@ -98,20 +98,26 @@ class CdcEngine:
             return res
 
         batch = self.feed().where((F.col("lsn") > lo) & (F.col("lsn") <= hi))
-        res.rows_in = batch.count()
-
         if self.normalize:
             batch = normalize_turns(batch, max_len=self.max_text_len)
-        valid, _cond = validity_filter(batch, self.table.key_cols())
-        res.rows_skipped = res.rows_in - valid.count()
-        batch = valid
+        _valid_rows, cond = validity_filter(batch, self.table.key_cols())
+        batch = batch.withColumn("_valid", cond).persist()
+        try:
+            # ONE scan of the feed materializes the epoch into the block store;
+            # everything downstream (stats, retry gate, merge) reads the cache.
+            per_bucket, res.rows_in, n_valid = self._bucket_stats(batch)
+            res.rows_skipped = res.rows_in - n_valid
+            valid = batch.filter(F.col("_valid")).drop("_valid")
 
-        batch, retried, parked, finalize_retry = self._apply_retry_queue(batch, epoch_id)
-        res.retried, res.parked = retried, parked
+            valid, retried, parked, finalize_retry = self._apply_retry_queue(valid, epoch_id)
+            res.retried, res.parked = retried, parked
 
-        per_bucket = self._per_bucket_window(batch)
-
-        mr = self.table.merge(batch, epoch_id=epoch_id)
+            mr = self.table.merge(
+                valid, epoch_id=epoch_id,
+                touched=None if self.require_turn0 else list(per_bucket),
+            )
+        finally:
+            batch.unpersist()
         res.rows_applied = mr.rows_upserted
         res.rows_deleted = mr.rows_deleted
         res.conflict_count = mr.conflict_count
@@ -193,18 +199,25 @@ class CdcEngine:
 
     # ------------------------------------------------------------------ lineage
 
-    def _per_bucket_window(self, batch: DataFrame):
-        """Per-partition (bucket) offset stats for lineage — tiny agg, ≤ num_buckets
-        rows (the reference's per-step read counters, MapperMetrics.java:20-96)."""
+    def _bucket_stats(self, batch: DataFrame):
+        """Per-partition (bucket) offset stats for lineage + epoch totals in one agg
+        (the reference's per-step read counters, MapperMetrics.java:20-96). Returns
+        ({bucket: (lo, hi, n)}, rows_in, rows_valid)."""
         b = batch.withColumn(
             BUCKET_COL, _bucket_expr(self.table.key_cols()[0], self.table.num_buckets())
         )
-        return {
-            int(r[BUCKET_COL]): (r["lo"], r["hi"], r["n"])
-            for r in b.groupBy(BUCKET_COL)
-            .agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi"), F.count("*").alias("n"))
+        rows = (
+            b.groupBy(BUCKET_COL)
+            .agg(
+                F.min("lsn").alias("lo"),
+                F.max("lsn").alias("hi"),
+                F.count("*").alias("n"),
+                F.count(F.when(F.col("_valid"), 1)).alias("nv"),
+            )
             .collect()
-        }
+        )
+        per_bucket = {int(r[BUCKET_COL]): (r["lo"], r["hi"], r["n"]) for r in rows}
+        return per_bucket, sum(r["n"] for r in rows), sum(r["nv"] for r in rows)
 
     def _write_lineage(self, epoch_id, lo, hi, per_bucket, res: EpochResult):
         """Append per-partition lineage rows, idempotently (dir named by epoch —

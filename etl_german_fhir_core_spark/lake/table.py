@@ -302,6 +302,7 @@ class SnapshotTable:
         epoch_id: str,
         op_col: str = "op",
         lsn_col: str = "lsn",
+        touched: list[int] | None = None,
     ) -> MergeResult:
         """Keyed copy-on-write MERGE of a change batch (columns: key_cols + payload +
         ``op`` ('I'|'U'|'D') + ``lsn`` + order col(s)).
@@ -328,11 +329,16 @@ class SnapshotTable:
         new_schema = self._evolve_schema(payload_schema)
 
         batch = batch.withColumn(BUCKET_COL, _bucket_expr(key_cols[0], B))
-        # Touched-bucket discovery: tiny collect (≤ B ints), driver-side by design —
-        # it is the pruning decision, the analog of Iceberg partition pruning.
-        touched = sorted(
-            r[0] for r in batch.select(BUCKET_COL).distinct().collect()
-        )
+        if touched is None:
+            # Touched-bucket discovery: tiny collect (≤ B ints), driver-side by
+            # design — it is the pruning decision, the analog of Iceberg partition
+            # pruning. Callers that already aggregated per-bucket stats (the epoch
+            # manager) pass ``touched`` to skip this extra scan.
+            touched = sorted(
+                r[0] for r in batch.select(BUCKET_COL).distinct().collect()
+            )
+        else:
+            touched = sorted(touched)
 
         existing = (
             self._conform(self.read(buckets=touched, include_meta=True), new_schema)

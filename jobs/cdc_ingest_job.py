@@ -30,6 +30,9 @@ def main() -> None:
     ap.add_argument("--skew-frac", type=float, default=0.0)
     ap.add_argument("--lineage", default=None)
     ap.add_argument("--max-epochs", type=int, default=None)
+    ap.add_argument("--gen-only", action="store_true",
+                    help="only synthesize the feed, then exit (keeps bench runs "
+                         "unpolluted by generation-phase JVM state)")
     args = ap.parse_args()
 
     from etl_german_fhir_core_spark.cdc import CdcEngine, synth_feed, write_feed
@@ -45,6 +48,9 @@ def main() -> None:
             args.feed,
             n_files=max(spark.sparkContext.defaultParallelism, 8),
         )
+        if args.gen_only:
+            print(json.dumps({"generated": args.events, "feed": args.feed}))
+            return
 
     schema = T.StructType(
         [

@@ -1,0 +1,191 @@
+"""Operator unit tests: eras, routing joins, dedup family, similarity, multimodal
+plumbing, sources."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_german_fhir_core_spark.operators import (
+    collapse_eras,
+    cosine_topk_bruteforce,
+    dedup_exact,
+    lookup_with_default,
+    lsh_ann_topk,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_buckets,
+    temporal_validity_join,
+)
+from etl_german_fhir_core_spark.operators.routing import reciprocal_pairs, route_by_domain
+
+TS0 = dt.datetime(2025, 1, 1)
+
+
+def test_collapse_eras_gap_semantics(spark):
+    rows = [
+        (1, TS0),
+        (1, TS0 + dt.timedelta(minutes=10)),  # same era (gap 10m < 30m)
+        (1, TS0 + dt.timedelta(minutes=50)),  # new era (gap 40m)
+        (2, TS0),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = {
+        (r["user_id"], r["era_id"]): (r["n_events"])
+        for r in collapse_eras(df, ["user_id"], "ts", gap_seconds=1800).collect()
+    }
+    assert out == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
+def test_collapse_eras_boundary_exact_gap_not_new(spark):
+    rows = [(1, TS0), (1, TS0 + dt.timedelta(seconds=1800))]  # exactly the gap
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = collapse_eras(df, ["user_id"], "ts", gap_seconds=1800).collect()
+    assert len(out) == 1 and out[0]["n_events"] == 2
+
+
+def test_temporal_validity_join(spark):
+    fact = spark.createDataFrame(
+        [("a", dt.datetime(2025, 6, 1)), ("a", dt.datetime(2026, 6, 1))],
+        "code string, d timestamp",
+    )
+    dim = spark.createDataFrame(
+        [("a", dt.datetime(2025, 1, 1), dt.datetime(2025, 12, 31), 100)],
+        "code string, valid_from timestamp, valid_to timestamp, concept_id int",
+    )
+    out = temporal_validity_join(fact, dim, ["code"], "d").collect()
+    assert len(out) == 1 and out[0]["concept_id"] == 100
+
+
+def test_lookup_with_default(spark):
+    fact = spark.createDataFrame([("x",), ("y",)], "code string")
+    dim = spark.createDataFrame([("x", 7)], "code string, concept_id int")
+    out = {
+        r["code"]: r["concept_id"]
+        for r in lookup_with_default(fact, dim, ["code"], "concept_id", 0).collect()
+    }
+    assert out == {"x": 7, "y": 0}
+
+
+def test_route_by_domain_and_reciprocal_pairs(spark):
+    mapped = spark.createDataFrame(
+        [(1, "Condition"), (2, "Measurement"), (3, "Condition")],
+        "id int, domain string",
+    )
+    routed = route_by_domain(mapped, "domain", ["Condition", "Measurement"])
+    assert routed["Condition"].count() == 2
+    assert routed["Measurement"].count() == 1
+
+    pairs = spark.createDataFrame([(1, 2)], "a int, b int")
+    rp = reciprocal_pairs(pairs, ["a"], ["b"]).collect()
+    assert {(r["e1_0"], r["e2_0"], r["relationship_id"]) for r in rp} == {
+        (1, 2, "primary_of"),
+        (2, 1, "secondary_of"),
+    }
+
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog today"),
+    (1, "the quick brown fox jumps over the lazy dog today"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy cat today"),  # near dup of 0
+    (3, "completely different content about spark and parquet tables"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_dedup_exact(spark):
+    out = dedup_exact(_docs(spark), "doc_id", "text").collect()
+    groups = {r["keep_id"]: r["n_dupes"] for r in out}
+    assert groups[0] == 2  # docs 0+1 collapse
+    assert groups[2] == 1 and groups[3] == 1
+
+
+def test_ngram_jaccard_and_minhash_agree(spark):
+    exact = {
+        (r["id1"], r["id2"])
+        for r in ngram_jaccard_pairs(_docs(spark), "doc_id", "text", n=3, threshold=0.4).collect()
+    }
+    assert (0, 1) in exact  # identical
+    assert (0, 2) in exact or (1, 2) in exact  # near dup
+    lsh = {
+        (r["id1"], r["id2"])
+        for r in minhash_lsh_pairs(
+            _docs(spark), "doc_id", "text", n=3, num_hashes=32, bands=16, verify_threshold=0.4
+        ).collect()
+    }
+    assert (0, 1) in lsh
+    assert lsh <= exact  # verified candidates are a subset of exact pairs
+
+
+def test_simhash_identical_docs_same_signature(spark):
+    out = {r["doc"]: r["simhash"] for r in simhash_buckets(_docs(spark), "doc_id", "text").collect()}
+    assert out[0] == out[1]
+    assert out[0] != out[3]
+
+
+def test_cosine_topk_and_lsh_ann(spark):
+    import math
+
+    vecs = []
+    for i in range(20):
+        angle = i * math.pi / 40
+        vecs.append((i, [math.cos(angle), math.sin(angle), 0.0, 0.0]))
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") == 0)
+    out = cosine_topk_bruteforce(emb, q, k=3).collect()
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2, 3]
+
+    ann = lsh_ann_topk(emb, q, dim=4, k=3, bits=2).collect()
+    assert all(r["query_id"] == 0 for r in ann)
+    assert len(ann) >= 1  # bucket-mates exist and are ranked
+
+
+def test_multimodal_plumbing(spark):
+    from etl_german_fhir_core_spark.multimodal import attach_payload_meta, extract_features
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"fake-image-bytes")), (2, bytearray(b"other-bytes"))],
+        "doc_id long, payload binary",
+    )
+    meta = attach_payload_meta(df)
+    rows = {r["doc_id"]: r["payload_bytes"] for r in meta.collect()}
+    assert rows == {1: 16, 2: 11}
+
+    feats = extract_features(meta).collect()
+    assert len(feats) == 2
+    for r in feats:
+        assert 16 <= r["width"] < 80 and len(r["feature"]) == 8
+    # determinism: same payload → same feature
+    again = extract_features(meta).collect()
+    assert sorted((r["doc_id"], tuple(r["feature"])) for r in again) == sorted(
+        (r["doc_id"], tuple(r["feature"])) for r in feats
+    )
+
+
+def test_sources(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from etl_german_fhir_core_spark.sources import csv_seed, parquet_feed, rest_paged_stub
+
+    p = str(tmp_path / "seed.csv")
+    with open(p, "w") as fh:
+        fh.write("code;concept\nA;1\nB;2\n")
+    schema = T.StructType(
+        [T.StructField("code", T.StringType()), T.StructField("concept", T.IntegerType())]
+    )
+    out = csv_seed(spark, p, schema)
+    assert {(r["code"], r["concept"]) for r in out.collect()} == {("A", 1), ("B", 2)}
+
+    feed_p = str(tmp_path / "feed")
+    spark.createDataFrame(
+        [(1, dt.datetime(2025, 1, 1)), (5, dt.datetime(2025, 1, 5))], "lsn long, ts timestamp"
+    ).write.parquet(feed_p)
+    assert parquet_feed(spark, feed_p, lo_lsn=1).count() == 1
+
+    with pytest.raises(NotImplementedError):
+        rest_paged_stub()
