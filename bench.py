@@ -108,32 +108,45 @@ def run_headline() -> dict:
     }
 
 
-def run_scaling(n_events: int = 8_000_000, n_cores: int = 8) -> dict:
-    """Same job, same input, two parallelism levels (N and 4N cores). The feed is
-    generated in its own spark-submit so neither timed run carries generation-phase
-    JVM state (observed: generation in the same JVM degraded the following run ~4×)."""
-    work = tempfile.mkdtemp(prefix="bench_scale_")
+def run_scaling(n_events: int = 20_000_000, n_cores: int = 2) -> dict:
+    """Same job, same input, two parallelism levels (N and 4N cores).
+
+    Protocol decisions (all evidence-driven, see BENCH/BASELINE.md):
+    - feed generated in its own spark-submit (same-JVM generation degraded the
+      following run ~4×),
+    - working set on /dev/shm when available (the sandbox's virtio disk adds 2×
+      run-to-run noise that has nothing to do with the engine),
+    - one warmup epoch before the timer (metric is SUSTAINED events/sec),
+    - N=2 vs 4N=8 on the 32-vCPU box so neither run contends with OS/driver threads.
+    """
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="bench_scale_", dir=base)
     zip_path = os.path.join(work, "engine.zip")
     subprocess.run(
         ["zip", "-qr", zip_path, "etl_german_fhir_core_spark"], cwd=REPO, check=True
     )
+    epoch_rows = max(n_events // 5, 100_000)
 
     def submit(cores: int, table: str, gen: bool) -> dict:
         cmd = [
             "spark-submit", "--master", f"local[{cores}]",
-            "--conf", f"spark.sql.shuffle.partitions={cores}",
+            "--conf", f"spark.sql.shuffle.partitions={2 * cores}",
             "--conf", "spark.sql.session.timeZone=UTC",
             "--conf", "spark.ui.enabled=false",
             "--conf", "spark.ui.showConsoleProgress=false",
             "--conf", "spark.driver.memory=24g",
+            "--conf", f"spark.local.dir={work}/sparktmp",
+            "--conf", "spark.sql.parquet.aggregatePushdown=true",
             "--py-files", zip_path,
             os.path.join(REPO, "jobs", "cdc_ingest_job.py"),
             "--feed", f"{work}/feed", "--table", table,
-            "--epoch-rows", str(max(n_events // 4, 100_000)),
+            "--epoch-rows", str(epoch_rows),
             "--num-buckets", "32",
         ]
         if gen:
             cmd += ["--events", str(n_events), "--skew-frac", "0.1", "--gen-only"]
+        else:
+            cmd += ["--warmup-epochs", "1"]
         out = subprocess.run(cmd, capture_output=True, text=True, check=True)
         return json.loads(out.stdout.strip().splitlines()[-1])
 
@@ -146,6 +159,7 @@ def run_scaling(n_events: int = 8_000_000, n_cores: int = 8) -> dict:
         result = {
             "n_cores": n_cores,
             "events": n_events,
+            "timed_events": r4["events_processed"],
             "events_per_sec_N": r1["events_per_sec"],
             "events_per_sec_4N": r4["events_per_sec"],
             "scaling_efficiency": round(eff, 3),
@@ -168,10 +182,11 @@ def _write_baseline_md(r: dict) -> None:
             "(see BASELINE.md §Sandbox measurement protocol).\n\n"
             f"| quantity | value |\n|---|---|\n"
             f"| input | {r['events']:,} change events (10% hot-key skew, 10% out-of-order) |\n"
-            f"| job | jobs/cdc_ingest_job.py — full engine: scan→normalize→LWW dedup→MERGE |\n"
+            f"| timed portion | {r.get('timed_events', r['events']):,} events after a 1-epoch warmup (sustained throughput) |\n"
+            f"| job | jobs/cdc_ingest_job.py — full engine: scan→validity gate→hash-agg LWW MERGE→normalize winners |\n"
             f"| events/sec @ local[{r['n_cores']}] (N) | {r['events_per_sec_N']:,} |\n"
             f"| events/sec @ local[{r['n_cores']*4}] (4N) | {r['events_per_sec_4N']:,} |\n"
-            f"| scaling efficiency (T_4N/T_N)/4 | **{r['scaling_efficiency']}** |\n"
+            f"| scaling efficiency (throughput_4N/throughput_N)/4 | **{r['scaling_efficiency']}** |\n"
             f"| final-state equality across levels | {r['final_rows_match']} |\n"
         )
 

@@ -36,11 +36,22 @@ _LANG_CUES: dict[str, list[str]] = {
 }
 
 
+_CTRL_CHARS = "".join(
+    chr(i) for i in list(range(0x00, 0x09)) + [0x0B, 0x0C] + list(range(0x0E, 0x20))
+)
+
+
 def normalize_text(col: Column | str, max_len: int | None = None) -> Column:
     """Canonical turn-text normalization: trim, collapse internal whitespace runs,
-    strip control chars, optional truncation (the ``cutString`` analog)."""
+    strip control chars, optional truncation (the ``cutString`` analog).
+
+    Hot-path note: control chars are removed with ``translate`` (a character map —
+    no regex engine, no per-row String/Matcher churn); only the whitespace collapse
+    needs one regex pass. Stack-sampling showed chained regexp_replace dominating
+    executor CPU via StringBuilder allocation.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    c = F.regexp_replace(c, r"[\x00-\x08\x0b\x0c\x0e-\x1f]", "")
+    c = F.translate(c, _CTRL_CHARS, "")
     c = F.regexp_replace(c, r"\s+", " ")
     c = F.trim(c)
     if max_len is not None:
@@ -139,6 +150,30 @@ def normalize_turns(
         role_col,
         F.when(is_del, F.col(role_col)).otherwise(F.coalesce(F.col(role_col), F.lit("unknown"))),
     )
+
+
+def normalize_final(df: DataFrame, max_len: int | None = 32768) -> DataFrame:
+    """normalize_turns variant for MERGE winners: rows flagged ``_deleted`` (retained
+    tombstones) pass through untouched; live rows get text normalization + role
+    default. Payload-only — never touches key/order columns, so it is safe to run
+    post-LWW-resolution (and cheaper: only winners pay the regex)."""
+    is_del = (
+        F.coalesce(F.col("_deleted"), F.lit(False))
+        if "_deleted" in df.columns
+        else F.lit(False)
+    )
+    df = df.withColumn(
+        "text",
+        F.when(is_del, F.col("text")).otherwise(normalize_text(F.col("text"), max_len)),
+    )
+    if "role" in df.columns:
+        df = df.withColumn(
+            "role",
+            F.when(is_del, F.col("role")).otherwise(
+                F.coalesce(F.col("role"), F.lit("unknown"))
+            ),
+        )
+    return df
 
 
 def validity_filter(df: DataFrame, key_cols: list[str]) -> tuple[DataFrame, Column]:

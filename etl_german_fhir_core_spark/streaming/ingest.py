@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_german_fhir_core_spark.functions.text import normalize_turns, validity_filter
+from etl_german_fhir_core_spark.functions.text import normalize_final, validity_filter
 from etl_german_fhir_core_spark.lake import SnapshotTable
 
 
@@ -44,10 +44,14 @@ def stream_feed_into_table(
     )
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
-        if normalize:
-            batch = normalize_turns(batch, max_len=max_text_len)
         valid, _ = validity_filter(batch, table.key_cols())
-        table.merge(valid, epoch_id=f"stream-{batch_id}")
+        table.merge(
+            valid,
+            epoch_id=f"stream-{batch_id}",
+            finalize_payload=(
+                (lambda df: normalize_final(df, max_text_len)) if normalize else None
+            ),
+        )
 
     return (
         src.writeStream.foreachBatch(apply_batch)

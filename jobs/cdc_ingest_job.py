@@ -33,6 +33,10 @@ def main() -> None:
     ap.add_argument("--gen-only", action="store_true",
                     help="only synthesize the feed, then exit (keeps bench runs "
                          "unpolluted by generation-phase JVM state)")
+    ap.add_argument("--warmup-epochs", type=int, default=0,
+                    help="run this many epochs before starting the throughput "
+                         "timer (JVM/codegen warmup; the metric is SUSTAINED "
+                         "events/sec per BASELINE.json)")
     args = ap.parse_args()
 
     from etl_german_fhir_core_spark.cdc import CdcEngine, synth_feed, write_feed
@@ -72,6 +76,8 @@ def main() -> None:
     eng = CdcEngine(
         spark, args.feed, tbl, epoch_rows=args.epoch_rows, lineage_path=args.lineage
     )
+    if args.warmup_epochs:
+        eng.run(max_epochs=args.warmup_epochs)
     t0 = time.time()
     results = eng.run(max_epochs=args.max_epochs)
     elapsed = time.time() - t0

@@ -1,0 +1,86 @@
+"""Plan-shape regression tests: broadcast joins stay broadcast, filters push down,
+the CDC apply path keeps its shuffle budget."""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+
+from pyspark.sql import functions as F
+
+from etl_german_fhir_core_spark.plans import (
+    count_exchanges,
+    has_broadcast_join,
+    pushed_filters,
+    uses_whole_stage_codegen,
+)
+
+
+def test_concept_lookup_broadcasts(spark, tmp_path):
+    fact_p, dim_p = str(tmp_path / "fact"), str(tmp_path / "dim")
+    spark.range(1000).select(
+        (F.col("id") % 10).alias("code"), F.col("id").alias("v")
+    ).write.parquet(fact_p)
+    spark.range(10).select(
+        F.col("id").alias("code"), (F.col("id") * 100).alias("concept")
+    ).write.parquet(dim_p)
+    from etl_german_fhir_core_spark.operators import concept_lookup
+
+    out = concept_lookup(spark.read.parquet(fact_p), spark.read.parquet(dim_p), ["code"])
+    assert has_broadcast_join(out)
+    assert uses_whole_stage_codegen(out)
+
+
+def test_feed_scan_pushes_lsn_filter(spark, tmp_path):
+    p = str(tmp_path / "feed")
+    spark.range(10_000).select(
+        F.col("id").alias("lsn"),
+        F.lit("x").alias("text"),
+        F.timestamp_seconds(F.col("id")).alias("ts"),
+    ).write.parquet(p)
+    from etl_german_fhir_core_spark.sources import parquet_feed
+
+    df = parquet_feed(spark, p, lo_lsn=100, hi_lsn=200).select("lsn")
+    filters = pushed_filters(df)
+    assert any("lsn" in f for f in filters), filters
+    # column pruning: text never read
+    from etl_german_fhir_core_spark.plans import explain_str
+
+    assert "text" not in "".join(re.findall(r"ReadSchema: [^\n]*", explain_str(df)))
+
+
+def test_merge_resolution_shuffle_budget(spark, tmp_path):
+    """The LWW resolution plan must cost exactly one hash-partition exchange
+    (the groupBy on the key) — a second exchange before the window/sort would
+    double the epoch's network cost at scale."""
+    import pyspark.sql.types as T
+
+    from etl_german_fhir_core_spark.lake import SnapshotTable
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    tbl = SnapshotTable.create(
+        spark, str(tmp_path / "t"), schema, ["conv_id", "turn_idx"], num_buckets=4
+    )
+    batch = spark.createDataFrame(
+        [("I", 1, "c1", 0, "hello", dt.datetime(2025, 1, 1))],
+        "op string, lsn long, conv_id string, turn_idx int, text string, ts timestamp",
+    )
+    tbl.merge(batch, epoch_id="1")
+    # re-merge path: existing ∪ batch → groupBy max_by; count exchanges in the plan
+    # the staging write adds its own repartition, so budget = 2 total
+    batch2 = batch.withColumn("lsn", F.lit(2).cast("long"))
+    from etl_german_fhir_core_spark.lake.table import BUCKET_COL, _bucket_expr
+
+    combined_plan = (
+        batch2.withColumn(BUCKET_COL, _bucket_expr("conv_id", 4))
+        .groupBy("conv_id", "turn_idx")
+        .agg(F.max_by(F.struct("text"), F.struct("ts", "lsn")).alias("w"))
+    )
+    assert count_exchanges(combined_plan) == 1
