@@ -52,6 +52,20 @@ class EpochResult:
     skipped_commit: bool = False
     retried: int = 0
     parked: int = 0
+    elapsed_sec: float = 0.0
+
+
+@dataclass
+class RollupSpec:
+    """A derived table maintained incrementally per epoch (the reference's
+    post-processing pass, PostProcessTask.java:93-111, made streaming):
+    ``partial(valid_batch_df) -> partial-aggregate DF`` keyed on the derived
+    table's key_cols; ``combine`` maps value columns to min/max/sum monoids
+    (see SnapshotTable.merge_agg)."""
+
+    table: "object"  # SnapshotTable
+    partial: "object"  # Callable[[DataFrame], DataFrame]
+    combine: dict
 
 
 @dataclass
@@ -66,6 +80,7 @@ class CdcEngine:
     retry_path: str | None = None
     require_turn0: bool = False  # late-reference gate (J6 analog)
     max_retries: int = 3
+    rollups: list[RollupSpec] = field(default_factory=list)
     results: list[EpochResult] = field(default_factory=list)
 
     # ------------------------------------------------------------------ planning
@@ -91,6 +106,9 @@ class CdcEngine:
     def apply_epoch(self, epoch_id: str, lo: int, hi: int) -> EpochResult:
         """Process one epoch: scan (lo, hi] → normalize → validity gate → retry-queue
         union/park → MERGE → lineage. Idempotent: committed epochs are skipped."""
+        import time as _time
+
+        t_start = _time.time()
         res = EpochResult(epoch_id=epoch_id, lo_lsn=lo, hi_lsn=hi)
         if self.table.has_epoch(epoch_id):
             res.skipped_commit = True
@@ -130,8 +148,20 @@ class CdcEngine:
         # the next run, which LWW-merge makes harmless (at-least-once → effectively-once)
         finalize_retry()
 
+        # derived-table rollups: fold this epoch's partial aggregates in (each
+        # rollup table has its own manifest, so a crash between the main commit and
+        # a rollup commit resumes by re-folding only the missing epoch — the batch
+        # re-derivation is deterministic)
+        for spec in self.rollups:
+            spec.table.merge_agg(
+                spec.partial(batch.filter(F.col("op") != "D")),
+                spec.combine,
+                epoch_id=epoch_id,
+            )
+
         if self.lineage_path:
             self._write_lineage(epoch_id, lo, hi, per_bucket, res)
+        res.elapsed_sec = round(_time.time() - t_start, 2)
         self.results.append(res)
         return res
 

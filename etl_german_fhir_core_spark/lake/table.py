@@ -91,6 +91,7 @@ class SnapshotTable:
         key_cols: list[str],
         num_buckets: int = 16,
         order_cols: list[str] | None = None,
+        files_per_bucket: int = 1,
     ) -> "SnapshotTable":
         """Create an empty table (snapshot 0). ``order_cols`` is the LWW total order
         (default ``[ts, _lsn]``) — must be total or replays diverge (SURVEY §7.3)."""
@@ -124,7 +125,7 @@ class SnapshotTable:
             "num_buckets": num_buckets,
             "files": {},
             "committed_epochs": [],
-            "properties": {"format-version": "1"},
+            "properties": {"format-version": "1", "files_per_bucket": files_per_bucket},
         }
         tbl._write_manifest(manifest)
         return tbl
@@ -239,14 +240,23 @@ class SnapshotTable:
         """Write ``df`` (already carrying BUCKET_COL) partitioned by bucket into a
         fresh uuid staging dir; return {bucket: [relative file paths]}. Staged files
         become live only when the next manifest references them, so a crash here
-        leaves orphans, never corruption (vacuum() collects them)."""
+        leaves orphans, never corruption (vacuum() collects them).
+
+        Skew handling (north rule: salted repartitioning for hot conv_id): with
+        ``files_per_bucket`` > 1 the shuffle key is (bucket, salt) where salt =
+        hash(full key) % fpb — a hot conversation's bucket is written by fpb
+        parallel tasks into fpb files instead of serializing into one writer."""
         stage_rel = os.path.join(DATA_DIR, uuid.uuid4().hex)
         stage_abs = self._abs(stage_rel)
-        # One shuffle task per touched bucket: each task writes exactly one file into
-        # its bucket dir. At 100 TB scale use more tasks per bucket (files_per_bucket).
+        m = self.manifest()
+        fpb = int(m.get("properties", {}).get("files_per_bucket", 1))
+        if fpb > 1:
+            salt = F.pmod(F.xxhash64(*[F.col(k) for k in m["key_cols"]]), F.lit(fpb))
+            shuffled = df.repartition(max(len(touched), 1) * fpb, F.col(BUCKET_COL), salt)
+        else:
+            shuffled = df.repartition(max(len(touched), 1), BUCKET_COL)
         (
-            df.repartition(max(len(touched), 1), BUCKET_COL)
-            .write.partitionBy(BUCKET_COL)
+            shuffled.write.partitionBy(BUCKET_COL)
             .mode("overwrite")
             .parquet(stage_abs)
         )
@@ -432,6 +442,70 @@ class SnapshotTable:
             conflict_count=int(stats["conf"] or 0),
             snapshot_id=sid,
         )
+
+    # ---------------------------------------------------------------- MERGE-agg
+
+    def merge_agg(
+        self,
+        batch: DataFrame,
+        combine: dict[str, str],
+        epoch_id: str,
+    ) -> MergeResult:
+        """Aggregating MERGE (W8 analog: the observation_period writable-CTE upsert
+        that widens [min(start), max(end)] on match and inserts otherwise —
+        /root/reference/src/main/resources/post_processing/post_process_observation_period.sql:17-54).
+
+        ``combine`` maps each value column to its monoid: 'min' | 'max' | 'sum'.
+        Because every combiner is commutative+associative, incrementally folding
+        per-epoch partial aggregates produces exactly the same table as a full
+        recompute — which is what makes the derived table maintainable at 10^10
+        events without ever re-reading the feed. Idempotent per epoch_id.
+        """
+        epoch_id = str(epoch_id)
+        m = self.manifest()
+        if epoch_id in set(m["committed_epochs"]):
+            return MergeResult(epoch_id=epoch_id, skipped=True,
+                               snapshot_id=m["snapshot_id"])
+        key_cols, B = m["key_cols"], m["num_buckets"]
+        fns = {"min": F.min, "max": F.max, "sum": F.sum}
+
+        batch = batch.withColumn(BUCKET_COL, _bucket_expr(key_cols[0], B))
+        touched = sorted(r[0] for r in batch.select(BUCKET_COL).distinct().collect())
+        schema = self.schema()
+
+        existing = self._conform(self.read(buckets=touched), schema).withColumn(
+            BUCKET_COL, _bucket_expr(key_cols[0], B)
+        )
+        incoming = self._conform(batch, schema).withColumn(
+            BUCKET_COL, _bucket_expr(key_cols[0], B)
+        )
+        merged = (
+            existing.unionByName(incoming)
+            .groupBy(*key_cols)
+            .agg(
+                *[fns[how](F.col(c)).alias(c) for c, how in combine.items()],
+                F.first(BUCKET_COL).alias(BUCKET_COL),
+            )
+        )
+        final = (
+            self._conform(merged.drop(DELETED_COL), schema, carry=[BUCKET_COL])
+            .withColumn(DELETED_COL, F.lit(False))
+            .select(*[f.name for f in schema], BUCKET_COL)
+        )
+        staged = self._stage_buckets(final, touched)
+        files = dict(m["files"])
+        for b in touched:
+            files[str(b)] = staged.get(str(b), [])
+        new_manifest = {
+            **m,
+            "snapshot_id": m["snapshot_id"] + 1,
+            "parent_id": m["snapshot_id"],
+            "epoch_id": epoch_id,
+            "files": files,
+            "committed_epochs": m["committed_epochs"] + [epoch_id],
+        }
+        sid = self._write_manifest(new_manifest)
+        return MergeResult(epoch_id=epoch_id, touched_buckets=touched, snapshot_id=sid)
 
     # ---------------------------------------------------------------- bulk paths
 

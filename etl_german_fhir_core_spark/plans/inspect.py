@@ -35,9 +35,14 @@ def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle Exchange operators (each is a full network/disk pass at
     scale; the CDC apply path budget is: 1 for the LWW hash-agg + 1 for the staged
     bucket write)."""
-    s = explain_str(df)
-    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning", s))
+    s = explain_str(df, "simple")  # simple mode inlines "Exchange hashpartitioning(...)"
+    return len(re.findall(r"\bExchange (?:hashpartitioning|rangepartitioning)", s))
 
 
 def uses_whole_stage_codegen(df: DataFrame) -> bool:
-    return "WholeStageCodegen" in explain_str(df)
+    """True if the executed plan contains WholeStageCodegen stages. Under AQE the
+    final plan only exists after execution, so this runs the plan once (intended
+    for test-scale data; the "*(n)" markers appear in simple mode afterwards)."""
+    df.collect()  # a write would spawn its own QueryExecution; collect finalizes df's
+    s = explain_str(df, "simple")
+    return bool(re.search(r"\*\(\d+\)", s)) or "WholeStageCodegen" in s

@@ -37,6 +37,12 @@ def main() -> None:
                     help="run this many epochs before starting the throughput "
                          "timer (JVM/codegen warmup; the metric is SUSTAINED "
                          "events/sec per BASELINE.json)")
+    ap.add_argument("--repeat-epoch", type=int, default=0,
+                    help="fixed-work bench mode: after one warmup epoch, re-apply "
+                         "the SAME lsn range as fresh epoch ids this many times — "
+                         "table size and per-epoch work stay constant, so epoch "
+                         "times are directly comparable and min() filters "
+                         "environment noise bursts")
     args = ap.parse_args()
 
     from etl_german_fhir_core_spark.cdc import CdcEngine, synth_feed, write_feed
@@ -76,16 +82,25 @@ def main() -> None:
     eng = CdcEngine(
         spark, args.feed, tbl, epoch_rows=args.epoch_rows, lineage_path=args.lineage
     )
-    if args.warmup_epochs:
-        eng.run(max_epochs=args.warmup_epochs)
-    t0 = time.time()
-    results = eng.run(max_epochs=args.max_epochs)
-    elapsed = time.time() - t0
+    if args.repeat_epoch:
+        eng.run(max_epochs=1)  # warmup + establish steady-state table
+        t0 = time.time()
+        for i in range(args.repeat_epoch):
+            eng.apply_epoch(f"rep{i:03d}", 0, args.epoch_rows)
+        elapsed = time.time() - t0
+        results = eng.results[1:]
+    else:
+        if args.warmup_epochs:
+            eng.run(max_epochs=args.warmup_epochs)
+        t0 = time.time()
+        results = eng.run(max_epochs=args.max_epochs)
+        elapsed = time.time() - t0
     applied = [r for r in results if not r.skipped_commit]
     events = sum(r.rows_in for r in applied)
     print(
         json.dumps(
             {
+                "epoch_secs": [r.elapsed_sec for r in results if not r.skipped_commit],
                 "epochs_total": len(results),
                 "epochs_applied": len(applied),
                 "events_processed": events,

@@ -169,6 +169,30 @@ def test_untouched_buckets_not_rewritten(spark, tmp_path):
             assert after[b] == fs  # carried forward by reference, not rewritten
 
 
+def test_salted_staging_spreads_hot_bucket(spark, tmp_path):
+    """files_per_bucket > 1: a hot conversation's bucket is written as multiple
+    files by parallel tasks (north rule: salted repartitioning for hot conv_id),
+    and no single file holds the whole hot bucket."""
+    tbl = SnapshotTable.create(
+        spark, str(tmp_path / "t"), _schema(), ["conv_id", "turn_idx"],
+        num_buckets=4, files_per_bucket=4,
+    )
+    rows = [("I", i, "conv-hot", i, "user", f"t{i}", TS0) for i in range(400)]
+    rows += [("I", 1000 + i, f"c{i}", 0, "user", "x", TS0) for i in range(40)]
+    tbl.merge(_batch(spark, rows), epoch_id="1")
+    m = tbl.manifest()
+    from etl_german_fhir_core_spark.lake.table import _bucket_expr
+
+    hot_bucket = (
+        spark.createDataFrame([("conv-hot",)], "conv_id string")
+        .select(_bucket_expr("conv_id", 4).alias("b"))
+        .collect()[0]["b"]
+    )
+    hot_files = m["files"][str(hot_bucket)]
+    assert len(hot_files) > 1  # parallel writers, not one serialized task
+    assert _state(tbl)[("conv-hot", 7)] == "t7"  # content intact
+
+
 def test_overwrite_and_delete_where_and_vacuum(spark, tmp_path):
     tbl = SnapshotTable.create(
         spark, str(tmp_path / "t"), _schema(), ["conv_id", "turn_idx"], num_buckets=2
