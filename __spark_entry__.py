@@ -305,6 +305,64 @@ def q_era_islands(spark, sf_dir):
     return collapse_eras(e, ["user_id"], "ts", gap_seconds=1800)
 
 
+def q_era_stockpile(spark, sf_dir):
+    """V2: drug_era stockpile algorithm — each event carries a duration (value
+    minutes); an era extends while the next event starts within 30 minutes of the
+    RUNNING MAX end of all previous events (post_process_drug_era.sql:63-149)."""
+    e = _t(spark, sf_dir, "events")
+    end_ts = F.col("ts") + F.expr("make_interval(0,0,0,0,0, CAST(FLOOR(value) AS INT), 0)")
+    base = e.select("user_id", "event_id", "ts", end_ts.alias("end_ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_max_end = F.max("end_ts").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = base.withColumn(
+        "new_era",
+        F.when(
+            prev_max_end.isNull()
+            | (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                > F.unix_micros(prev_max_end.cast("timestamp")) + 1800 * 1_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "era_id",
+        F.sum("new_era").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return numbered.groupBy("user_id", "era_id").agg(
+        F.min("ts").alias("era_start"),
+        F.max("end_ts").alias("era_end"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_jsonb_predicate_scan(spark, sf_dir):
+    """S2: predicate pushdown into the JSON payload (Encounter contact-level split
+    analog — TaskConfiguration.java:284-306): route events by a JSON field parity."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        e.withColumn(
+            "contact_level",
+            F.when(k % 2 == 0, "einrichtungskontakt").otherwise("abteilungskontakt"),
+        )
+        .groupBy("contact_level", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_compound_pack_unpack(spark, sf_dir):
+    """T11: compound string packing (zip;city;country → data_one analog) and
+    positional unpack."""
+    e = _t(spark, sf_dir, "events")
+    packed = F.concat_ws(";", F.col("event_type"), F.col("user_id").cast("string"))
+    return e.select(
+        "event_id",
+        packed.alias("data_one"),
+        F.split(packed, ";").getItem(0).alias("unpacked_type"),
+    )
+
+
 def q_agg_observation_period(spark, sf_dir):
     """A1: observation-period rollup (min/max/count per person)."""
     e = _t(spark, sf_dir, "events")
@@ -488,6 +546,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_reference_person": q_join_reference_person,
         "join_pairing_reciprocal": q_join_pairing_reciprocal,
         "era_islands": q_era_islands,
+        "era_stockpile": q_era_stockpile,
+        "jsonb_predicate_scan": q_jsonb_predicate_scan,
+        "compound_pack_unpack": q_compound_pack_unpack,
         "agg_observation_period": q_agg_observation_period,
         "agg_pricing_summary": q_agg_pricing_summary,
         "window_latest_per_key": q_window_latest_per_key,
@@ -642,6 +703,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, era_id, MIN(ts) AS era_start, MAX(ts) AS era_end,
                    COUNT(*) AS n_events
             FROM numbered GROUP BY user_id, era_id
+        """,
+        "era_stockpile": """
+            WITH base AS (
+              SELECT user_id, event_id, ts,
+                     ts + CAST(FLOOR(value) AS INTEGER) * INTERVAL 1 MINUTE AS end_ts
+              FROM events
+            ), flagged AS (
+              SELECT user_id, event_id, ts, end_ts,
+                     CASE WHEN MAX(end_ts) OVER w IS NULL
+                          OR epoch_us(ts) > epoch_us(MAX(end_ts) OVER w) + 1800000000
+                          THEN 1 ELSE 0 END AS new_era
+              FROM base
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            ), numbered AS (
+              SELECT user_id, ts, end_ts,
+                     CAST(SUM(new_era) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS era_id
+              FROM flagged
+            )
+            SELECT user_id, era_id, MIN(ts) AS era_start, MAX(end_ts) AS era_end,
+                   COUNT(*) AS n_events
+            FROM numbered GROUP BY user_id, era_id
+        """,
+        "jsonb_predicate_scan": """
+            SELECT CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) % 2 = 0
+                        THEN 'einrichtungskontakt' ELSE 'abteilungskontakt' END AS contact_level,
+                   event_type, COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "compound_pack_unpack": """
+            SELECT event_id,
+                   event_type || ';' || CAST(user_id AS VARCHAR) AS data_one,
+                   string_split(event_type || ';' || CAST(user_id AS VARCHAR), ';')[1] AS unpacked_type
+            FROM events
         """,
         "agg_observation_period": """
             SELECT user_id, MIN(ts) AS period_start, MAX(ts) AS period_end,
