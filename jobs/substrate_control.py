@@ -46,22 +46,31 @@ def python_controls(k: int) -> dict:
     import multiprocessing as mp
 
     def int_burn(q):
-        x, n, t0 = 0, 0, time.time()
-        while time.time() - t0 < 4:
-            for _ in range(100000):
-                x = (x * 1103515245 + 12345) & 0x7FFFFFFF
-            n += 100000
-        q.put(n)
+        # best of 3 two-second windows (the box has bursty multi-second stalls;
+        # a single window can be 40x off right after heavy JVM activity)
+        best = 0
+        for _ in range(3):
+            x, n, t0 = 0, 0, time.time()
+            while time.time() - t0 < 2:
+                for _ in range(100000):
+                    x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+                n += 100000
+            best = max(best, n / 2)
+        q.put(best)
 
     def np_burn(q):
         import numpy as np
 
         a = np.random.RandomState(1).rand(4_000_000)
-        n, t0 = 0, time.time()
-        while time.time() - t0 < 4:
-            a = np.sqrt(a * 1.7 + 0.3) * 0.99 + 0.01
-            n += 1
-        q.put(n)
+        a = np.sqrt(a * 1.7 + 0.3) * 0.99 + 0.01  # warmup
+        best = 0.0
+        for _ in range(3):
+            n, t0 = 0, time.time()
+            while time.time() - t0 < 2:
+                a = np.sqrt(a * 1.7 + 0.3) * 0.99 + 0.01
+                n += 1
+            best = max(best, n / 2)
+        q.put(best)
 
     out = {}
     for name, fn in [("int_iters_per_s", int_burn), ("numpy_iters_per_s", np_burn)]:
@@ -70,7 +79,7 @@ def python_controls(k: int) -> dict:
         [p.start() for p in ps]
         total = sum(q.get() for _ in ps)
         [p.join() for p in ps]
-        out[name] = round(total / 4, 1)
+        out[name] = round(total, 1)
     return out
 
 
