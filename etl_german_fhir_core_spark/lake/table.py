@@ -577,6 +577,66 @@ class SnapshotTable:
 
     # ---------------------------------------------------------------- maintenance
 
+    def compact(self, epoch_id: str, target_buckets: list[int] | None = None) -> MergeResult:
+        """Rewrite each (selected) bucket's files into one file per bucket — the
+        small-file compaction a CoW table needs after many salted multi-file writes
+        (Iceberg's rewrite_data_files analog). Content-preserving: tombstones and
+        meta columns ride along unchanged. Idempotent per epoch_id."""
+        epoch_id = str(epoch_id)
+        m = self.manifest()
+        if epoch_id in set(m["committed_epochs"]):
+            return MergeResult(epoch_id=epoch_id, skipped=True,
+                               snapshot_id=m["snapshot_id"])
+        B = m["num_buckets"]
+        touched = sorted(target_buckets if target_buckets is not None
+                         else [int(b) for b, fs in m["files"].items() if len(fs) > 1])
+        if not touched:
+            return MergeResult(epoch_id=epoch_id, skipped=True,
+                               snapshot_id=m["snapshot_id"])
+        rows = self.read(buckets=touched, include_meta=True).withColumn(
+            BUCKET_COL, _bucket_expr(m["key_cols"][0], B)
+        )
+        # bypass salted staging: exactly one task (and file) per bucket
+        stage_rel = os.path.join(DATA_DIR, uuid.uuid4().hex)
+        (
+            rows.repartition(len(touched), BUCKET_COL)
+            .write.partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(self._abs(stage_rel))
+        )
+        staged: dict[str, list[str]] = {}
+        for entry in sorted(os.listdir(self._abs(stage_rel))):
+            if entry.startswith(f"{BUCKET_COL}="):
+                b = entry.split("=", 1)[1]
+                staged[b] = [
+                    os.path.join(stage_rel, entry, f)
+                    for f in sorted(os.listdir(os.path.join(self._abs(stage_rel), entry)))
+                    if f.endswith(".parquet")
+                ]
+        files = dict(m["files"])
+        for b in touched:
+            files[str(b)] = staged.get(str(b), [])
+        sid = self._write_manifest({
+            **m,
+            "snapshot_id": m["snapshot_id"] + 1,
+            "parent_id": m["snapshot_id"],
+            "epoch_id": epoch_id,
+            "files": files,
+            "committed_epochs": m["committed_epochs"] + [epoch_id],
+        })
+        return MergeResult(epoch_id=epoch_id, touched_buckets=touched, snapshot_id=sid)
+
+    def expire_tombstones(self, older_than, epoch_id: str) -> MergeResult:
+        """Drop retained tombstone rows whose (ts) is older than ``older_than`` — the
+        retention watermark. Safe iff no event older than the watermark can still
+        arrive (the streaming-watermark contract); afterwards such a late event
+        would resurrect its key, exactly like Kafka compaction past the tombstone
+        retention window."""
+        return self.delete_where(
+            F.coalesce(F.col(DELETED_COL), F.lit(False)) & (F.col("ts") < F.lit(older_than)),
+            epoch_id=epoch_id,
+        )
+
     def vacuum(self) -> int:
         """Delete data files not referenced by the current snapshot (orphans from
         crashed stages / superseded snapshots). Returns count removed. Destroys time

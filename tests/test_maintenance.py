@@ -1,0 +1,158 @@
+"""Table maintenance: small-file compaction, tombstone expiry, crash-mid-merge
+recovery (staging orphans never corrupt; vacuum reclaims them)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import signal
+import subprocess
+import time
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_german_fhir_core_spark.lake import SnapshotTable
+
+TS0 = dt.datetime(2025, 1, 1)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "op string, lsn long, conv_id string, turn_idx int, text string, ts timestamp"
+    )
+
+
+def test_compact_merges_small_files(spark, tmp_path):
+    tbl = SnapshotTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, ["conv_id", "turn_idx"],
+        num_buckets=2, files_per_bucket=4,
+    )
+    rows = [("I", i, f"c{i % 5}", i, f"t{i}", TS0) for i in range(200)]
+    tbl.merge(_batch(spark, rows), epoch_id="1")
+    before = tbl.read().sort("conv_id", "turn_idx").collect()
+    m = tbl.manifest()
+    assert any(len(fs) > 1 for fs in m["files"].values())  # salted multi-file
+
+    tbl.compact(epoch_id="compact1")
+    m2 = tbl.manifest()
+    assert all(len(fs) <= 1 for fs in m2["files"].values())
+    after = tbl.read().sort("conv_id", "turn_idx").collect()
+    assert before == after  # content-preserving
+    # idempotent
+    sid = tbl.current_snapshot_id()
+    assert tbl.compact(epoch_id="compact1").skipped
+    assert tbl.current_snapshot_id() == sid
+
+
+def test_expire_tombstones_and_resurrection_boundary(spark, tmp_path):
+    tbl = SnapshotTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, ["conv_id", "turn_idx"], num_buckets=2
+    )
+    tbl.merge(
+        _batch(spark, [("I", 1, "c1", 0, "x", TS0), ("I", 2, "c2", 0, "y", TS0)]),
+        epoch_id="1",
+    )
+    tbl.merge(
+        _batch(spark, [("D", 3, "c1", 0, None, TS0 + dt.timedelta(days=1))]),
+        epoch_id="2",
+    )
+    # tombstone retained: an older event cannot resurrect
+    tbl.merge(_batch(spark, [("U", 4, "c1", 0, "stale", TS0)]), epoch_id="3")
+    assert {r["conv_id"] for r in tbl.read().collect()} == {"c2"}
+
+    # expire tombstones older than day 2 → the c1 tombstone goes away
+    tbl.expire_tombstones(TS0 + dt.timedelta(days=2), epoch_id="exp1")
+    meta = tbl.read(include_meta=True)
+    assert meta.filter(F.coalesce(F.col("_deleted"), F.lit(False))).count() == 0
+    # past the retention watermark, a late stale event WOULD resurrect (documented
+    # watermark contract — same as Kafka compaction)
+    tbl.merge(_batch(spark, [("U", 5, "c1", 0, "post-expiry", TS0)]), epoch_id="4")
+    assert {r["conv_id"] for r in tbl.read().collect()} == {"c1", "c2"}
+
+
+def test_crash_mid_merge_leaves_no_corruption(spark, tmp_path):
+    """SIGKILL a spark-submit ingest while epochs are committing; the table must
+    stay readable at the last committed snapshot, resume must converge to the
+    uninterrupted result, and vacuum must reclaim orphaned staging files."""
+    import shutil
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    work = str(tmp_path)
+    subprocess.run(
+        ["zip", "-qr", f"{work}/engine.zip", "etl_german_fhir_core_spark"],
+        cwd=repo, check=True,
+    )
+    cmd = [
+        "spark-submit", "--master", "local[2]",
+        "--conf", "spark.sql.shuffle.partitions=4",
+        "--conf", "spark.sql.session.timeZone=UTC",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.ui.showConsoleProgress=false",
+        "--py-files", f"{work}/engine.zip",
+        os.path.join(repo, "jobs", "cdc_ingest_job.py"),
+        "--feed", f"{work}/feed", "--table", f"{work}/tbl",
+        "--events", "30000", "--epoch-rows", "3000", "--num-buckets", "4",
+    ]
+    # start, wait until ≥2 epochs committed, then SIGKILL the whole tree
+    proc = subprocess.Popen(
+        cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        start_new_session=True,
+    )
+    manifest_dir = f"{work}/tbl/_manifests"
+    deadline = time.time() + 240
+    while time.time() < deadline:
+        n = len(os.listdir(manifest_dir)) if os.path.isdir(manifest_dir) else 0
+        if n >= 3:  # snapshot 0 + ≥2 epochs
+            break
+        time.sleep(0.5)
+    os.killpg(proc.pid, signal.SIGKILL)
+    proc.wait()
+    assert os.path.isdir(manifest_dir) and len(os.listdir(manifest_dir)) >= 3
+
+    # table readable at last committed snapshot despite the kill
+    tbl = SnapshotTable.load(spark, f"{work}/tbl")
+    committed = set(tbl.committed_epochs())
+    assert len(committed) >= 2
+    _ = tbl.read().count()
+
+    # resume to completion (same feed, --events dropped so it isn't regenerated)
+    resume_cmd = cmd.copy()
+    i = resume_cmd.index("--events")
+    del resume_cmd[i : i + 2]
+    out = subprocess.run(resume_cmd, capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr[-2000:]
+
+    # reference: fresh uninterrupted run on the same feed
+    ref_cmd = resume_cmd.copy()
+    ref_cmd[ref_cmd.index("--table") + 1] = f"{work}/tbl_ref"
+    assert subprocess.run(ref_cmd, capture_output=True).returncode == 0
+
+    got = (
+        tbl.read().toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    ref = (
+        SnapshotTable.load(spark, f"{work}/tbl_ref")
+        .read().toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, ref)
+
+    # vacuum reclaims any staging orphans from the killed merge
+    removed = tbl.vacuum()
+    assert removed >= 0
+    pd.testing.assert_frame_equal(
+        tbl.read().toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
+        ref,
+    )
+    shutil.rmtree(f"{work}/tbl_ref", ignore_errors=True)
