@@ -394,6 +394,49 @@ def q_agg_pricing_summary(spark, sf_dir):
     )
 
 
+def q_topk_per_group(spark, sf_dir):
+    """Top-3 revenue line items per brand (the classic top-k-per-group window)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_brand", "l_orderkey", "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("rev"),
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("rev").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+    )
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("p_brand", "l_orderkey", "l_linenumber", "rev", "rk")
+    )
+
+
+def q_pivot_event_types(spark, sf_dir):
+    """Manual pivot: events per type per week (CASE-sum pivot, engine-portable)."""
+    e = _t(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts")).alias("week")
+    agg = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+        for t in ["click", "view", "purchase", "signup", "error"]
+    ]
+    return e.groupBy(week).agg(*agg)
+
+
+def q_grouping_sets(spark, sf_dir):
+    """GROUPING SETS over (returnflag, linestatus): per-pair, per-flag, grand total."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 4) AS sum_qty, COUNT(*) AS n
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
 def q_window_latest_per_key(spark, sf_dir):
     """V3: last-write-wins dedup window in isolation (latest event per user+type)."""
     e = _t(spark, sf_dir, "events")
@@ -551,6 +594,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compound_pack_unpack": q_compound_pack_unpack,
         "agg_observation_period": q_agg_observation_period,
         "agg_pricing_summary": q_agg_pricing_summary,
+        "topk_per_group": q_topk_per_group,
+        "pivot_event_types": q_pivot_event_types,
+        "grouping_sets": q_grouping_sets,
         "window_latest_per_key": q_window_latest_per_key,
         "text_token_count": q_text_token_count,
         "text_quality_score": q_text_quality_score,
@@ -757,6 +803,31 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "topk_per_group": """
+            SELECT p_brand, l_orderkey, l_linenumber, rev, CAST(rk AS INTEGER) AS rk FROM (
+              SELECT p_brand, l_orderkey, l_linenumber,
+                     ROUND(l_extendedprice * (1 - l_discount), 4) AS rev,
+                     ROW_NUMBER() OVER (PARTITION BY p_brand
+                                        ORDER BY ROUND(l_extendedprice * (1 - l_discount), 4) DESC,
+                                                 l_orderkey, l_linenumber) AS rk
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+            ) WHERE rk <= 3
+        """,
+        "pivot_event_types": """
+            SELECT date_trunc('week', ts) AS week,
+                   COUNT(*) FILTER (event_type = 'click') AS n_click,
+                   COUNT(*) FILTER (event_type = 'view') AS n_view,
+                   COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+                   COUNT(*) FILTER (event_type = 'error') AS n_error
+            FROM events GROUP BY 1
+        """,
+        "grouping_sets": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 4) AS sum_qty, COUNT(*) AS n
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """,
         "window_latest_per_key": """
             SELECT user_id, event_type, event_id, ts FROM (

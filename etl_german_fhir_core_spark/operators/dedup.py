@@ -57,6 +57,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """All document pairs with n-gram Jaccard ≥ threshold.
 
@@ -70,6 +71,17 @@ def ngram_jaccard_pairs(
         F.explode(_shingles(F.col(text_col), n)).alias("shingle"),
     )
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    if max_df is not None:
+        # the 100 TB path: drop stop-shingles (document frequency > max_df) before
+        # the self-join — they contribute pair-count quadratically while carrying
+        # almost no Jaccard signal. Approximation: |intersection| may undercount,
+        # so this is the candidate-recall knob, not the exact query.
+        rare = (
+            sh.groupBy("shingle").agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(rare), "shingle")
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
