@@ -111,10 +111,11 @@ def q_cdc_tombstoned_keys(spark, sf_dir):
 def q_cdc_epoch_window_scan(spark, sf_dir):
     """S3/S4: incremental time-window micro-batch scan with per-op accounting."""
     feed = _feed(spark, sf_dir)
+    ts_type = feed.schema["ts"].dataType  # NTZ-safe under any driver session TZ
     return (
         feed.filter(
-            (F.col("ts") >= F.lit("2024-01-08 00:00:00").cast("timestamp"))
-            & (F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+            (F.col("ts") >= F.lit("2024-01-08 00:00:00").cast(ts_type))
+            & (F.col("ts") < F.lit("2024-01-15 00:00:00").cast(ts_type))
         )
         .groupBy("op")
         .agg(F.count("*").alias("n_events"), F.min("lsn").alias("lo_lsn"), F.max("lsn").alias("hi_lsn"))
@@ -377,7 +378,10 @@ def q_agg_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: the reference's aggregation class at full width."""
     li = _t(spark, sf_dir, "lineitem")
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        li.filter(
+            F.col("l_shipdate")
+            <= F.lit("1998-09-02").cast(li.schema["l_shipdate"].dataType)
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
