@@ -557,6 +557,18 @@ def q_sim_ann_lsh(spark, sf_dir):
     return lsh_ann_topk(emb, q, dim=64, k=3, bits=6)
 
 
+def q_sim_ann_ivf(spark, sf_dir):
+    """IVF-bucketed approximate NN (coarse k-means cells + nprobe rerank; no SQL
+    oracle: engine-side centroids). The scale path for similarity search."""
+    from etl_german_fhir_core_spark.operators.similarity import ivf_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    return ivf_ann_topk(emb, q, dim=64, k=3, n_centroids=16, nprobe=4)
+
+
 def q_multimodal_payload_meta(spark, sf_dir):
     """Multimodal plumbing: opaque binary payload column + typed metadata (decode is
     stubbed in etl_german_fhir_core_spark.multimodal; here: byte length accounting)."""
@@ -611,6 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_ann_ivf": q_sim_ann_ivf,
         "multimodal_payload_meta": q_multimodal_payload_meta,
     }
 

@@ -76,6 +76,109 @@ def lsh_bucket_col(vec_col, dim: int, bits: int = 8, seed: int = 42):
     return bucket
 
 
+def _sqdist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _assign_cells(
+    df: DataFrame, key_cols: list[str], vec_col: str, cents_df: DataFrame, out: str = "_cell"
+) -> DataFrame:
+    """Nearest-centroid assignment via a BROADCAST join (k rows) + min_by — no
+    per-element literal expressions (a 16×64 literal tree made Catalyst/codegen
+    explode; the join form compiles once and stays columnar)."""
+    j = df.crossJoin(F.broadcast(cents_df)).withColumn(
+        "_d", _sqdist(F.col(vec_col), F.col("_cvec"))
+    )
+    return j.groupBy(*key_cols).agg(
+        F.min_by("_cell0", "_d").alias(out), F.first(vec_col).alias(vec_col)
+    )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    dim: int,
+    k: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Deterministic mini k-means for IVF coarse quantization: init = the k corpus
+    vectors with smallest xxhash64(id) (hash-picked, seed-free deterministic), then
+    ``iters`` Lloyd steps as DataFrame aggs (assign via broadcast-join argmin;
+    recompute via posexplode + groupBy(cluster, pos) mean). Returns a k-row
+    DataFrame (_cell0 int, _cvec array<double>) — driver-tiny at any corpus scale."""
+    spark = corpus.sparkSession
+    sample = (
+        corpus.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    )
+    cents = [(i, [float(x) for x in r["v"]]) for i, r in enumerate(sample)]
+
+    def to_df(c):
+        return spark.createDataFrame(c, "_cell0 int, _cvec array<double>")
+
+    for _ in range(iters):
+        assigned = _assign_cells(
+            corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("v")),
+            ["_id"], "v", to_df(cents),
+        )
+        new = (
+            assigned.select("_cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("_cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_c: dict[int, list[float]] = {}
+        for r in new:
+            by_c.setdefault(r["_cell"], [0.0] * dim)[r["pos"]] = float(r["m"])
+        cents = [(i, by_c.get(i, v)) for i, v in cents]
+    return to_df(cents)
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into centroid cells, probe
+    each query's ``nprobe`` nearest cells, exact cosine rerank inside them. The 100 TB
+    path: the corpus is scanned once to build cells (and would be stored partitioned
+    by cell); each query touches ~nprobe/n_centroids of the data via a cell-equi join."""
+    cents_df = kmeans_centroids(corpus, dim, k=n_centroids, vec_col=vec_col, id_col=id_col)
+    c = _assign_cells(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
+        ["neighbor_id"], "_cv", cents_df,
+    )
+    # per-query probe cells: rank centroid distances, keep nprobe smallest
+    qd = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+        .crossJoin(F.broadcast(cents_df))
+        .withColumn("_d", _sqdist(F.col("_qv"), F.col("_cvec")))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("_d"), F.col("_cell0"))
+    probes = (
+        qd.withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= nprobe)
+        .select("query_id", "_qv", F.col("_cell0").alias("_cell"))
+    )
+    scored = c.join(F.broadcast(probes), "_cell").where(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id", "neighbor_id", cosine_similarity(F.col("_qv"), F.col("_cv")).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -145,6 +145,33 @@ def test_cosine_topk_and_lsh_ann(spark):
     assert len(ann) >= 1  # bucket-mates exist and are ranked
 
 
+def test_ivf_ann_recall(spark):
+    """IVF with enough probes must recover the exact top-3 on a structured corpus."""
+    import math
+
+    from etl_german_fhir_core_spark.operators.similarity import ivf_ann_topk
+
+    vecs = []
+    for i in range(60):
+        angle = (i % 20) * math.pi / 40 + (i // 20) * 2.0
+        vecs.append((i, [math.cos(angle), math.sin(angle), float(i // 20), 0.0]))
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") == 0)
+    exact = {
+        r["neighbor_id"]
+        for r in cosine_topk_bruteforce(emb, q, k=3).collect()
+    }
+    ivf = {
+        r["neighbor_id"]
+        for r in ivf_ann_topk(emb, q, dim=4, k=3, n_centroids=6, nprobe=6).collect()
+    }
+    # nprobe == n_centroids ⇒ IVF degenerates to exact: recall must be 1.0
+    assert ivf == exact
+    # fewer probes: still returns ranked neighbors from probed cells
+    part = ivf_ann_topk(emb, q, dim=4, k=3, n_centroids=6, nprobe=2).collect()
+    assert 1 <= len(part) <= 3
+
+
 def test_multimodal_plumbing(spark):
     from etl_german_fhir_core_spark.multimodal import attach_payload_meta, extract_features
 
