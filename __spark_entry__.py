@@ -196,10 +196,13 @@ def q_mapper_code_explode(spark, sf_dir):
 
 
 def q_surrogate_id_dense(spark, sf_dir):
-    """T13: deterministic dense surrogate-id minting via row_number over the key."""
+    """T13: deterministic dense surrogate-id minting — two-pass range-partitioned
+    numbering (sampled split points → per-range counts → partition-local
+    row_number + prefix offsets), NOT a global single-partition window."""
+    from etl_german_fhir_core_spark.operators.ids import dense_surrogate_ids
+
     d = _t(spark, sf_dir, "documents")
-    w = Window.orderBy("doc_id")
-    return d.select("doc_id").withColumn("surrogate_id", F.row_number().over(w))
+    return dense_surrogate_ids(d, "doc_id", num_partitions=8)
 
 
 # --------------------------------------------------------------------------- joins

@@ -8,6 +8,7 @@ from etl_german_fhir_core_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_buckets,
 )
+from etl_german_fhir_core_spark.operators.ids import dense_surrogate_ids
 from etl_german_fhir_core_spark.operators.eras import collapse_eras, period_rollup
 from etl_german_fhir_core_spark.operators.routing import (
     concept_lookup,
@@ -26,6 +27,7 @@ __all__ = [
     "lookup_with_default",
     "temporal_validity_join",
     "dedup_exact",
+    "dense_surrogate_ids",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_buckets",

@@ -81,23 +81,66 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") <= max_df)
             .select("shingle")
         )
-        sh = sh.join(F.broadcast(rare), "shingle")
+        # plain semi join (NOT broadcast: the rare-shingle set is ~the whole
+        # vocabulary — per-shingle frames must never be forced into a broadcast)
+        sh = sh.join(rare, "shingle", "left_semi")
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("id1"), F.col("b.doc").alias("id2"))
         .agg(F.count("*").alias("inter"))
     )
+    # sizes is one row per DOCUMENT — at corpus scale that is billions of rows, so
+    # these are plain shuffle joins; AQE converts them to broadcasts automatically
+    # when the corpus is genuinely small. Never hint broadcast on per-doc frames.
     s1 = sizes.select(F.col("doc").alias("id1"), F.col("sz").alias("sz1"))
     s2 = sizes.select(F.col("doc").alias("id2"), F.col("sz").alias("sz2"))
     return (
-        inter.join(F.broadcast(s1), "id1")
-        .join(F.broadcast(s2), "id2")
+        inter.join(s1, "id1")
+        .join(s2, "id2")
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")),
         )
         .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+def _pair_jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact n-gram Jaccard for a GIVEN pair set only — cost O(|pairs| × shingles
+    per doc), never O(all pairs).
+
+    ``sh`` is the exploded (doc, shingle) frame (distinct shingles per doc);
+    ``pairs`` has (id1, id2). The intersection is computed by routing id1's
+    shingles through the pair list and equi-joining on (id2, shingle) — every join
+    key is (doc) or (doc, shingle), so the plan is shuffle-bounded by the
+    candidate volume that LSH already made near-linear.
+    """
+    cand_docs = (
+        pairs.select(F.col("id1").alias("doc"))
+        .union(pairs.select(F.col("id2").alias("doc")))
+        .distinct()
+    )
+    sh_c = sh.join(cand_docs, "doc", "left_semi")
+    sizes = sh_c.groupBy("doc").agg(F.count("*").alias("sz"))
+    a = sh_c.select(F.col("doc").alias("id1"), "shingle")
+    b = sh_c.select(F.col("doc").alias("id2"), "shingle")
+    inter = (
+        pairs.join(a, "id1")
+        .join(b, ["id2", "shingle"])
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("inter"))
+    )
+    s1 = sizes.select(F.col("doc").alias("id1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc").alias("id2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")),
+        )
         .select("id1", "id2", "jaccard")
     )
 
@@ -157,10 +200,13 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return cand
-    verified = ngram_jaccard_pairs(df, id_col, text_col, n, verify_threshold).select(
+    # Verification is CANDIDATE-ONLY: Jaccard is computed just for the pairs LSH
+    # surfaced (O(candidates)), never by re-running the all-pairs shingle self-join
+    # over the corpus — that quadratic join is exactly what LSH exists to avoid.
+    verified = _pair_jaccard(sh, cand)
+    return verified.filter(F.col("jaccard") >= verify_threshold).select(
         "id1", "id2", "jaccard"
     )
-    return cand.join(verified, ["id1", "id2"], "inner")
 
 
 def simhash_buckets(

@@ -25,6 +25,15 @@ def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in explain_str(df)
 
 
+def has_broadcast_hint(df: DataFrame) -> bool:
+    """True if the LOGICAL plan carries an explicit broadcast hint — independent of
+    whether AQE ends up broadcasting. Used as a NEGATIVE assertion on operators
+    whose join sides are per-row frames (per-document sizes, per-shingle sets):
+    forcing those into a broadcast is a scale bug even when the test corpus fits."""
+    s = df._jdf.queryExecution().analyzed().toString()  # type: ignore[attr-defined]
+    return "ResolvedHint" in s or "UnresolvedHint" in s
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """The PushedFilters lists from every Parquet scan in the plan."""
     s = explain_str(df)

@@ -216,3 +216,59 @@ def test_sources(spark, tmp_path):
 
     with pytest.raises(NotImplementedError):
         rest_paged_stub()
+
+
+def test_minhash_verified_jaccard_values_match_exact(spark):
+    """The candidate-only verify path must produce the SAME jaccard values as the
+    all-pairs exact query (on the pairs it surfaces)."""
+    exact = {
+        (r["id1"], r["id2"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_pairs(_docs(spark), "doc_id", "text", n=3, threshold=0.4).collect()
+    }
+    lsh = {
+        (r["id1"], r["id2"]): round(r["jaccard"], 9)
+        for r in minhash_lsh_pairs(
+            _docs(spark), "doc_id", "text", n=3, num_hashes=32, bands=16, verify_threshold=0.4
+        ).collect()
+    }
+    assert lsh  # surfaces at least the identical pair
+    for pair, j in lsh.items():
+        assert exact[pair] == j
+
+
+def test_dedup_plans_have_no_broadcast_hint(spark):
+    """Per-document / per-shingle frames must never be forced into a broadcast —
+    at corpus scale they are billions of rows (AQE may still choose to broadcast
+    small sides at runtime; the HINT is the bug)."""
+    from etl_german_fhir_core_spark.plans import has_broadcast_hint
+
+    out = ngram_jaccard_pairs(_docs(spark), "doc_id", "text", n=3, threshold=0.4, max_df=10)
+    assert not has_broadcast_hint(out)
+    out2 = minhash_lsh_pairs(_docs(spark), "doc_id", "text", n=3, verify_threshold=0.4)
+    assert not has_broadcast_hint(out2)
+
+
+def test_dense_surrogate_ids_equal_global_window(spark):
+    import random
+
+    from etl_german_fhir_core_spark.operators import dense_surrogate_ids
+
+    ids = list(range(0, 3000, 3))
+    random.Random(7).shuffle(ids)
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long").repartition(7)
+    out = {
+        r["doc_id"]: r["surrogate_id"]
+        for r in dense_surrogate_ids(df, "doc_id", num_partitions=8).collect()
+    }
+    expect = {v: i + 1 for i, v in enumerate(sorted(ids))}
+    assert out == expect
+
+
+def test_dense_surrogate_ids_no_single_partition_exchange(spark):
+    """The whole point: no global no-partition window (Exchange SinglePartition)."""
+    from etl_german_fhir_core_spark.operators import dense_surrogate_ids
+    from etl_german_fhir_core_spark.plans import explain_str
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    out = dense_surrogate_ids(df, "doc_id", num_partitions=8)
+    assert "SinglePartition" not in explain_str(out, "simple")
