@@ -35,7 +35,7 @@ from etl_german_fhir_core_spark.lake.table import BUCKET_COL, SnapshotTable, _bu
 LINEAGE_SCHEMA = (
     "epoch_id string, partition_id int, lo_lsn long, hi_lsn long, "
     "rows_in long, rows_applied long, rows_deleted long, "
-    "conflict_count long, rows_skipped long"
+    "conflict_count long, rows_skipped long, rows_expired long"
 )
 
 
@@ -52,20 +52,51 @@ class EpochResult:
     skipped_commit: bool = False
     retried: int = 0
     parked: int = 0
+    expired: int = 0  # parked rows dropped after max_retries (lineage-visible)
     elapsed_sec: float = 0.0
 
 
 @dataclass
 class RollupSpec:
     """A derived table maintained incrementally per epoch (the reference's
-    post-processing pass, PostProcessTask.java:93-111, made streaming):
-    ``partial(valid_batch_df) -> partial-aggregate DF`` keyed on the derived
-    table's key_cols; ``combine`` maps value columns to min/max/sum monoids
-    (see SnapshotTable.merge_agg)."""
+    post-processing pass, PostProcessTask.java:93-111, made streaming).
+
+    Two modes:
+
+    - ``mode='monoid'`` (combine required): ``partial(valid_batch_df)`` produces a
+      partial aggregate that is FOLDED into the derived table with min/max/sum
+      monoids (SnapshotTable.merge_agg). Cheapest — one pass over the batch, no
+      main-table read — but EVENT-CUMULATIVE: a later tombstone or LWW-losing
+      update never retracts its contribution. Use for append-mostly feeds.
+    - ``mode='state'``: ``partial(final_state_rows)`` recomputes the aggregate
+      from the MAIN TABLE's final (post-merge) rows, scoped to the keys this
+      epoch touched; the derived table is key-replaced (merge_replace_keys), so
+      deletes and superseded updates retract correctly (the reference's W8 upsert
+      against final target rows, post_process_observation_period.sql:17-54).
+      Touched-bucket scoping keeps the recompute O(epoch keys), not O(table).
+    """
 
     table: "object"  # SnapshotTable
     partial: "object"  # Callable[[DataFrame], DataFrame]
-    combine: dict
+    combine: dict | None = None
+    mode: str = "monoid"  # 'monoid' | 'state'
+    scope_cols: list | None = None  # default: the derived table's key_cols
+
+
+@dataclass
+class CascadeSpec:
+    """Cross-table cascade delete (reference O9: FKs rewritten to ON DELETE
+    CASCADE so a person/visit delete fans out,
+    pre_processing/pre_process_alter_tables.sql:48-98).
+
+    ``keys(batch_df)`` derives the child-table key scope to delete from the
+    epoch's change batch (e.g. conv_ids whose turn 0 was tombstoned). The child
+    delete commits under ``<epoch_id>/cascade`` in the CHILD's own epoch ledger,
+    so it is exactly-once and replays after a crash between the parent commit and
+    the child delete are no-ops."""
+
+    table: "object"  # child SnapshotTable
+    keys: "object"  # Callable[[DataFrame], DataFrame]
 
 
 @dataclass
@@ -81,6 +112,7 @@ class CdcEngine:
     require_turn0: bool = False  # late-reference gate (J6 analog)
     max_retries: int = 3
     rollups: list[RollupSpec] = field(default_factory=list)
+    cascades: list[CascadeSpec] = field(default_factory=list)
     results: list[EpochResult] = field(default_factory=list)
 
     # ------------------------------------------------------------------ planning
@@ -110,12 +142,18 @@ class CdcEngine:
 
         t_start = _time.time()
         res = EpochResult(epoch_id=epoch_id, lo_lsn=lo, hi_lsn=hi)
+        batch = self.feed().where((F.col("lsn") > lo) & (F.col("lsn") <= hi))
         if self.table.has_epoch(epoch_id):
+            # Main-table commit exists, but a crash may have landed BETWEEN that
+            # commit and the cascade/rollup commits — each derived table's own
+            # epoch ledger decides, so re-applying here is a no-op when complete
+            # and repairs the divergence when not (the batch re-derivation from
+            # the LSN range is deterministic).
             res.skipped_commit = True
+            self._apply_cascades(batch, epoch_id)
+            self._fold_rollups(batch, epoch_id)
             self.results.append(res)
             return res
-
-        batch = self.feed().where((F.col("lsn") > lo) & (F.col("lsn") <= hi))
 
         # Per-bucket offset stats: a NARROW scan (lsn + leading key only — Parquet
         # column pruning keeps the text payload untouched). Deliberately not cached:
@@ -128,8 +166,10 @@ class CdcEngine:
         valid_obs = Observation(f"valid-{epoch_id}")
         valid = valid.observe(valid_obs, F.count(F.lit(1)).alias("n_valid"))
 
-        valid, retried, parked, finalize_retry = self._apply_retry_queue(valid, epoch_id)
-        res.retried, res.parked = retried, parked
+        valid, retried, parked, expired, cleanup_retry = self._apply_retry_queue(
+            valid, epoch_id
+        )
+        res.retried, res.parked, res.expired = retried, parked, expired
 
         mr = self.table.merge(
             valid, epoch_id=epoch_id,
@@ -139,31 +179,74 @@ class CdcEngine:
             # payload columns so resolution is unaffected
             finalize_payload=self._normalize_final if self.normalize else None,
         )
-        res.rows_skipped = res.rows_in - int(valid_obs.get["n_valid"] or 0)
+        # expired retries are dropped rows too — lineage must account for them
+        res.rows_skipped = res.rows_in - int(valid_obs.get["n_valid"] or 0) + expired
         res.rows_applied = mr.rows_upserted
         res.rows_deleted = mr.rows_deleted
         res.conflict_count = mr.conflict_count
-        # swap the retry queue only after the merge committed — the lazy plans above
-        # read the OLD queue files; a crash before this point replays parked rows in
-        # the next run, which LWW-merge makes harmless (at-least-once → effectively-once)
-        finalize_retry()
+        # the next-epoch queue was already written (epoch-named dir, BEFORE the
+        # manifest commit, so committed-epoch ⇒ queue-exists); after the commit,
+        # queues older than this epoch are dead and can be garbage-collected
+        cleanup_retry()
 
-        # derived-table rollups: fold this epoch's partial aggregates in (each
-        # rollup table has its own manifest, so a crash between the main commit and
-        # a rollup commit resumes by re-folding only the missing epoch — the batch
-        # re-derivation is deterministic)
-        for spec in self.rollups:
-            spec.table.merge_agg(
-                spec.partial(batch.filter(F.col("op") != "D")),
-                spec.combine,
-                epoch_id=epoch_id,
-            )
+        # derived tables: cascade deletes fan out first, then rollups fold/recompute
+        self._apply_cascades(batch, epoch_id)
+        self._fold_rollups(batch, epoch_id)
 
         if self.lineage_path:
             self._write_lineage(epoch_id, lo, hi, per_bucket, res)
         res.elapsed_sec = round(_time.time() - t_start, 2)
         self.results.append(res)
         return res
+
+    # --------------------------------------------------------------- derived tables
+
+    def _fold_rollups(self, batch: DataFrame, epoch_id: str) -> None:
+        """Apply every RollupSpec for this epoch. Idempotent: each derived table's
+        own epoch ledger skips already-folded epochs (so this also runs on the
+        skipped-commit resume path — ADVICE r01 high)."""
+        for spec in self.rollups:
+            if spec.mode == "monoid":
+                spec.table.merge_agg(
+                    spec.partial(batch.filter(F.col("op") != "D")),
+                    spec.combine,
+                    epoch_id=epoch_id,
+                )
+            elif spec.mode == "state":
+                if spec.table.has_epoch(str(epoch_id)):
+                    continue
+                scope = list(spec.scope_cols or spec.table.key_cols())
+                keys = batch.select(*scope).distinct()
+                state = self._scoped_state(keys, scope)
+                spec.table.merge_replace_keys(
+                    spec.partial(state), keys, epoch_id=epoch_id
+                )
+            else:  # pragma: no cover - config error
+                raise ValueError(f"unknown rollup mode {spec.mode!r}")
+
+    def _scoped_state(self, keys: DataFrame, scope: list) -> DataFrame:
+        """Final-state rows of the main table restricted to ``keys`` — bucket-pruned
+        when the scope leads with the table's bucketing key, so a state-mode rollup
+        reads O(touched buckets), never the whole table."""
+        if scope[0] == self.table.key_cols()[0]:
+            B = self.table.num_buckets()
+            touched = sorted(
+                r[0]
+                for r in keys.select(
+                    _bucket_expr(scope[0], B).alias(BUCKET_COL)
+                ).distinct().collect()
+            )
+            state = self.table.read(buckets=touched)
+        else:
+            state = self.table.read()
+        return state.join(keys, on=scope, how="left_semi")
+
+    def _apply_cascades(self, batch: DataFrame, epoch_id: str) -> None:
+        """Fan a parent delete out to child tables (O9). Commits under the child's
+        own ledger at ``<epoch_id>/cascade`` — exactly-once, replay-safe, and
+        disjoint from any RollupSpec commit the same table might also take."""
+        for spec in self.cascades:
+            spec.table.delete_keys(spec.keys(batch), epoch_id=f"{epoch_id}/cascade")
 
     def _normalize_final(self, df: DataFrame) -> DataFrame:
         """Vectorized per-turn mapper pipeline over MERGE winners (tombstones pass
@@ -187,20 +270,50 @@ class CdcEngine:
 
     # ------------------------------------------------------------------ retry queue
 
+    def _retry_root(self) -> str:
+        return self.retry_path or os.path.join(self.table.root, "_retry")
+
+    def _queue_dir(self, epoch_id: str) -> str:
+        return os.path.join(self._retry_root(), f"queue-{epoch_id}")
+
+    def _prev_queue_dir(self, epoch_id: str) -> str | None:
+        """Epoch ids form a deterministic contiguous sequence (plan_epochs:
+        e000001, e000002, ...), so epoch k consumes exactly the queue epoch k-1
+        wrote — never 'the newest dir', which could belong to a crashed attempt
+        of the CURRENT epoch."""
+        s = str(epoch_id)
+        if not (s.startswith("e") and s[1:].isdigit()):
+            return None
+        idx = int(s[1:])
+        return self._queue_dir(f"e{idx - 1:06d}") if idx > 1 else None
+
     def _apply_retry_queue(self, batch: DataFrame, epoch_id: str):
         """Late-reference handling (J6 analog — the reference bumps
         last_updated_at +1 day so the record re-enters a later batch,
-        ResourceOmopReferenceUtils.java:289-298). Here: an event for turn_idx>0 whose
+        ResourceOmopReferenceUtils.java:289-298). An event for turn_idx>0 whose
         conversation has no turn 0 yet (neither in the table nor in this batch) is
-        parked and re-unioned into the next epoch, up to max_retries."""
-        if not self.require_turn0:
-            return batch, 0, 0, lambda: None
-        retry_dir = os.path.join(self.retry_path or os.path.join(self.table.root, "_retry"), "queue")
-        feed_cols = [c for c in batch.columns if c != "_retry_count"]
+        parked and re-unioned into the next epoch, up to max_retries.
 
+        Crash-safety (ADVICE r01 medium): the parked set is written to an
+        EPOCH-NAMED dir (queue-<epoch_id>) BEFORE the main manifest commits, so
+        'epoch committed' implies 'its queue exists'; a resumed run re-deriving a
+        crashed (uncommitted) epoch overwrites the dir with identical content, and
+        the next epoch always reads queue-<k-1> — parked rows can never vanish or
+        be clobbered by a later epoch's write."""
+        if not self.require_turn0:
+            return batch, 0, 0, 0, lambda: None
+        from pyspark.sql import types as T
+
+        feed_cols = [c for c in batch.columns if c != "_retry_count"]
+        parked_schema = T.StructType(
+            list(batch.schema) + [T.StructField("_retry_count", T.IntegerType(), True)]
+        )
+        prev_dir = self._prev_queue_dir(epoch_id)
         retried = 0
-        if os.path.isdir(retry_dir):
-            parked_df = self.spark.read.parquet(retry_dir)
+        if prev_dir and os.path.isdir(prev_dir):
+            # explicit schema: null-fills columns the queue predates (a feed whose
+            # schema evolved mid-stream) and prunes ones it no longer carries
+            parked_df = self.spark.read.schema(parked_schema).parquet(prev_dir)
             retried = parked_df.count()
             batch = batch.withColumn("_retry_count", F.lit(0)).unionByName(parked_df)
         else:
@@ -220,23 +333,38 @@ class CdcEngine:
         ok = flagged.where(~needs_anchor | F.col("_has_anchor").isNotNull()).drop("_has_anchor")
         missing = flagged.where(needs_anchor & F.col("_has_anchor").isNull()).drop("_has_anchor")
 
-        park = missing.where(F.col("_retry_count") < self.max_retries).withColumn(
-            "_retry_count", F.col("_retry_count") + 1
+        # park/expire accounting in ONE agg over the missing frame (ADVICE r01 low:
+        # rows dropped after max_retries must be counted, not vanish)
+        counts = missing.agg(
+            F.count(F.when(F.col("_retry_count") < self.max_retries, 1)).alias("n_park"),
+            F.count(F.when(F.col("_retry_count") >= self.max_retries, 1)).alias("n_expired"),
+        ).collect()[0]
+        n_park = int(counts["n_park"] or 0)
+        n_expired = int(counts["n_expired"] or 0)
+
+        park_out = (
+            missing.where(F.col("_retry_count") < self.max_retries)
+            .withColumn("_retry_count", F.col("_retry_count") + 1)
+            .select(*feed_cols, "_retry_count")
         )
-        # rows exceeding max_retries are dropped (counted as skipped upstream)
-        n_park = park.count()
-        park_out = park.select(*feed_cols, "_retry_count")
-        tmp = retry_dir + ".next"
-        park_out.write.mode("overwrite").parquet(tmp)
+        # write the NEXT queue now (reads the OLD epoch-named dir, writes a NEW
+        # one — no swap, no clobber window); deterministic content, so a replay
+        # of a crashed epoch rewrites it identically
+        park_out.write.mode("overwrite").parquet(self._queue_dir(epoch_id))
 
-        def finalize():
-            if os.path.isdir(retry_dir):
-                import shutil
+        def cleanup():
+            root = self._retry_root()
+            if not os.path.isdir(root):
+                return
+            import shutil
 
-                shutil.rmtree(retry_dir)
-            os.rename(tmp, retry_dir)
+            mine = f"queue-{epoch_id}"
+            for d in os.listdir(root):
+                # zero-padded ids sort lexicographically == numerically
+                if d.startswith("queue-") and d < mine:
+                    shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
-        return ok.select(*feed_cols), retried, n_park, finalize
+        return ok.select(*feed_cols), retried, n_park, n_expired, cleanup
 
     # ------------------------------------------------------------------ lineage
 
@@ -264,7 +392,7 @@ class CdcEngine:
         rows = [
             (
                 epoch_id, int(b), int(blo), int(bhi), int(n),
-                None, None, None, None,
+                None, None, None, None, None,
             )
             for b, (blo, bhi, n) in sorted(per_bucket.items())
         ]
@@ -272,7 +400,8 @@ class CdcEngine:
         rows.append(
             (
                 epoch_id, -1, lo, hi, res.rows_in,
-                res.rows_applied, res.rows_deleted, res.conflict_count, res.rows_skipped,
+                res.rows_applied, res.rows_deleted, res.conflict_count,
+                res.rows_skipped, res.expired,
             )
         )
         df = self.spark.createDataFrame(rows, LINEAGE_SCHEMA)

@@ -507,6 +507,76 @@ class SnapshotTable:
         sid = self._write_manifest(new_manifest)
         return MergeResult(epoch_id=epoch_id, touched_buckets=touched, snapshot_id=sid)
 
+    # ---------------------------------------------------------------- MERGE-replace
+
+    def merge_replace_keys(
+        self, agg: DataFrame | None, keys: DataFrame, epoch_id: str
+    ) -> MergeResult:
+        """State-consistent keyed REPLACE: within the scope of ``keys`` (a DataFrame
+        of a leading subset of this table's key columns), existing rows are replaced
+        by ``agg``'s recomputed rows; scoped keys with no row in ``agg`` are REMOVED.
+
+        This is the delete-aware counterpart of merge_agg (reference W8: the
+        observation_period upsert recomputes from final target rows,
+        post_processing/post_process_observation_period.sql:17-54 — it never folds
+        event deltas, so deletes can retract). With ``agg=None`` it is a pure
+        cascade delete of the scoped keys (reference O9: ON DELETE CASCADE FKs,
+        pre_processing/pre_process_alter_tables.sql:48-98).
+
+        Scale shape: bucket-pruned CoW — only buckets containing scoped keys are
+        read back and rewritten (requires ``keys`` to include the table's leading
+        key column; otherwise every bucket is touched). Idempotent per epoch_id.
+        """
+        epoch_id = str(epoch_id)
+        m = self.manifest()
+        if epoch_id in set(m["committed_epochs"]):
+            return MergeResult(epoch_id=epoch_id, skipped=True,
+                               snapshot_id=m["snapshot_id"])
+        key_cols, B = m["key_cols"], m["num_buckets"]
+        scope_cols = [c for c in key_cols if c in keys.columns]
+        if key_cols[0] not in scope_cols:
+            raise ValueError(
+                f"keys must include the leading key column {key_cols[0]!r} "
+                f"(got {keys.columns}) — bucket pruning is impossible otherwise"
+            )
+        keys = keys.select(*scope_cols).distinct()
+        # pruning decision: ≤B ints collected, same contract as merge()
+        touched = sorted(
+            r[0]
+            for r in keys.select(_bucket_expr(key_cols[0], B).alias(BUCKET_COL))
+            .distinct()
+            .collect()
+        )
+        schema = self.schema()
+        kept = self.read(buckets=touched, include_meta=True).join(
+            keys, on=scope_cols, how="left_anti"
+        )
+        final = self._conform(kept, schema)
+        if agg is not None:
+            incoming = self._conform(agg, schema).withColumn(
+                DELETED_COL, F.lit(False)
+            )
+            final = final.unionByName(self._conform(incoming, schema))
+        final = final.withColumn(BUCKET_COL, _bucket_expr(key_cols[0], B))
+        staged = self._stage_buckets(final, touched)
+        files = dict(m["files"])
+        for b in touched:
+            files[str(b)] = staged.get(str(b), [])
+        sid = self._write_manifest({
+            **m,
+            "snapshot_id": m["snapshot_id"] + 1,
+            "parent_id": m["snapshot_id"],
+            "epoch_id": epoch_id,
+            "files": files,
+            "committed_epochs": m["committed_epochs"] + [epoch_id],
+        })
+        return MergeResult(epoch_id=epoch_id, touched_buckets=touched, snapshot_id=sid)
+
+    def delete_keys(self, keys: DataFrame, epoch_id: str) -> MergeResult:
+        """Cascade-style keyed delete: remove every row whose leading key appears in
+        ``keys``. Sugar for merge_replace_keys(agg=None, ...)."""
+        return self.merge_replace_keys(None, keys, epoch_id)
+
     # ---------------------------------------------------------------- bulk paths
 
     def overwrite(self, df: DataFrame, epoch_id: str = "bulk") -> MergeResult:
@@ -631,9 +701,17 @@ class SnapshotTable:
         retention watermark. Safe iff no event older than the watermark can still
         arrive (the streaming-watermark contract); afterwards such a late event
         would resurrect its key, exactly like Kafka compaction past the tombstone
-        retention window."""
+        retention window. The watermark column is the table's own leading LWW
+        order column (order_cols), not a hardcoded name."""
+        order_cols = [c for c in self.manifest()["order_cols"] if c != LSN_COL]
+        if not order_cols:
+            raise ValueError(
+                f"table at {self.root} orders only by {LSN_COL}; tombstone "
+                "expiry needs a timestamp-like order column as the watermark"
+            )
+        wcol = order_cols[0]
         return self.delete_where(
-            F.coalesce(F.col(DELETED_COL), F.lit(False)) & (F.col("ts") < F.lit(older_than)),
+            F.coalesce(F.col(DELETED_COL), F.lit(False)) & (F.col(wcol) < F.lit(older_than)),
             epoch_id=epoch_id,
         )
 

@@ -57,12 +57,19 @@ def _lww_update(
     changed = False
     best = cur
     for pdf in pdfs:
-        # vectorized inside the batch: pick the max (ts, lsn) row once per pandas chunk
-        pdf = pdf.assign(_ts_us=pdf["ts"].astype("int64"))
+        # vectorized inside the batch: pick the max (ts, lsn) row once per pandas chunk.
+        # datetime64[ns] int view is NANOseconds — divide to true microseconds so the
+        # stored ts_us matches the unix_micros convention used engine-wide.
+        pdf = pdf.assign(_ts_us=pdf["ts"].astype("int64") // 1000)
         top = pdf.sort_values(["_ts_us", "lsn"], kind="mergesort").iloc[-1]
         if (
             best_ts is None
-            or (int(top["_ts_us"]), int(top["lsn"])) > (int(best_ts or -1), int(best_lsn or -1))
+            or (int(top["_ts_us"]), int(top["lsn"]))
+            > (
+                # explicit None checks: ts_us == 0 (epoch zero) is legitimate state
+                int(best_ts) if best_ts is not None else -1,
+                int(best_lsn) if best_lsn is not None else -1,
+            )
         ):
             best = (
                 int(top["_ts_us"]), int(top["lsn"]), top["role"], top["text"],

@@ -208,3 +208,43 @@ def test_retry_queue_late_references(spark, tmp_path):
     assert ("cX", 0) in state and ("cY", 0) in state
     assert ("cX", 3) in state  # drained from retry queue once anchor landed
     assert ("cZ", 5) not in state  # orphan dropped after max retries
+
+
+def test_retry_queue_survives_engine_restart(spark, tmp_path):
+    """ADVICE r01 (medium): parked rows live in epoch-named queue dirs written
+    BEFORE the manifest commit, so a kill after epoch 1 commits cannot lose them —
+    a fresh engine must drain the queue when the anchor lands in epoch 2."""
+    import datetime as dt
+
+    TS0 = dt.datetime(2025, 1, 1)
+    rows = [
+        ("I", 1, "cX", 3, "user", "early child", None, TS0),          # epoch 1: parked
+        ("I", 2, "cY", 0, "user", "anchor y", None, TS0),
+        ("I", 11, "cX", 0, "user", "anchor x", None, TS0 + dt.timedelta(seconds=60)),  # epoch 2
+    ]
+    feed = spark.createDataFrame(
+        [(r[1], r[0], r[2], r[3], r[4], r[5], r[6], r[7]) for r in rows],
+        "lsn long, op string, conv_id string, turn_idx int, role string, "
+        "text string, tool string, ts timestamp",
+    )
+    feed_path = str(tmp_path / "feed")
+    feed.write.parquet(feed_path)
+    root = str(tmp_path / "tbl")
+    SnapshotTable.create(spark, root, TARGET_SCHEMA, ["conv_id", "turn_idx"], num_buckets=4)
+
+    def mk():
+        return CdcEngine(
+            spark, feed_path, SnapshotTable.load(spark, root),
+            epoch_rows=10, require_turn0=True, max_retries=3,
+            retry_path=str(tmp_path / "retry"),
+        )
+
+    r1 = mk().run(max_epochs=1)  # killed after epoch 1 (cX:3 parked)
+    assert r1[0].parked == 1
+    state = {(r["conv_id"], r["turn_idx"]) for r in SnapshotTable.load(spark, root).read().collect()}
+    assert ("cX", 3) not in state
+
+    res = mk().run()  # fresh engine: epoch 1 skipped, epoch 2 drains the queue
+    assert res[0].skipped_commit and res[1].retried == 1
+    state = {(r["conv_id"], r["turn_idx"]) for r in SnapshotTable.load(spark, root).read().collect()}
+    assert ("cX", 3) in state and ("cX", 0) in state
