@@ -205,6 +205,52 @@ def q_surrogate_id_dense(spark, sf_dir):
     return dense_surrogate_ids(d, "doc_id", num_partitions=8)
 
 
+def q_mapper_tz_anchor(spark, sf_dir):
+    """T8: timezone-anchored conversion (PatientMapper.java:474-486 anchors
+    birthDate at Europe/Berlin): interpret the naive event ts as UTC, emit Berlin
+    wall-clock + local date. Session-timezone-independent (convert_timezone on
+    TIMESTAMP_NTZ, DST-aware: +1h winter / +2h summer)."""
+    from etl_german_fhir_core_spark.functions.temporal import tz_anchor
+
+    e = _t(spark, sf_dir, "events")
+    berlin = tz_anchor(F.col("ts"), "UTC", "Europe/Berlin")
+    return e.select(
+        "event_id",
+        berlin.alias("ts_berlin"),
+        # local civil DAY as a day-truncated timestamp (engine-portable dtype)
+        F.date_trunc("day", berlin).alias("day_berlin"),
+    )
+
+
+def q_mapper_absent_unwrap(spark, sf_dir):
+    """T14: data-absent-reason unwrap (ResourceCheckDataAbsentReason.java): when
+    the absent marker holds the value is NULL and the reason is recorded."""
+    from etl_german_fhir_core_spark.functions.temporal import null_when
+
+    e = _t(spark, sf_dir, "events")
+    absent = F.col("event_type") == "error"
+    return e.select(
+        "event_id",
+        F.round(null_when(F.col("value"), absent), 6).alias("value_unwrapped"),
+        F.when(absent, F.lit("masked-error"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("absent_reason"),
+    )
+
+
+def q_cdc_rollup_final_state(spark, sf_dir):
+    """W8/J9 state-consistent derived table: per-conversation period over the
+    FINAL LWW state, so tombstoned/superseded turns retract — the contract the
+    engine's mode='state' RollupSpec maintains incrementally
+    (post_process_observation_period.sql:17-54 recomputes from target rows)."""
+    final = q_cdc_lww_final_state(spark, sf_dir)
+    return final.groupBy("conv_id").agg(
+        F.min("ts").alias("period_start"),
+        F.max("ts").alias("period_end"),
+        F.count("*").alias("n_turns"),
+    )
+
+
 # --------------------------------------------------------------------------- joins
 
 def q_join_concept_lookup(spark, sf_dir):
@@ -296,6 +342,33 @@ def q_join_pairing_reciprocal(spark, sf_dir):
         F.lit("secondary_of").alias("relationship_id"),
     )
     return fwd.unionByName(bwd)
+
+
+def q_join_vocab_materialized(spark, sf_dir):
+    """J7: materialized vocabulary view — the 3-way dim join (customer→nation→
+    region) is persisted ONCE and reused by fact joins, the reference's
+    pre-computed etl-helper tables (pre_process_create_etl_helper_tables.sql:
+    27-233). Dim-sized persist only; the fact side streams past it broadcast."""
+    from etl_german_fhir_core_spark.operators.routing import materialize_dim
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    dim = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+    vocab, _release = materialize_dim(dim)
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(vocab), o.o_custkey == vocab.c_custkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------- windows/aggs
@@ -596,17 +669,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_epoch_window_scan": q_cdc_epoch_window_scan,
         "cdc_conflict_stats": q_cdc_conflict_stats,
         "cdc_lineage_rollup": q_cdc_lineage_rollup,
+        "cdc_rollup_final_state": q_cdc_rollup_final_state,
         "mapper_normalize_project": q_mapper_normalize_project,
         "mapper_validity_filter": q_mapper_validity_filter,
         "mapper_date_arithmetic": q_mapper_date_arithmetic,
         "mapper_conditional_concept": q_mapper_conditional_concept,
         "mapper_code_explode": q_mapper_code_explode,
+        "mapper_tz_anchor": q_mapper_tz_anchor,
+        "mapper_absent_unwrap": q_mapper_absent_unwrap,
         "surrogate_id_dense": q_surrogate_id_dense,
         "join_concept_lookup": q_join_concept_lookup,
         "join_lookup_default": q_join_lookup_default,
         "join_temporal_validity": q_join_temporal_validity,
         "join_reference_person": q_join_reference_person,
         "join_pairing_reciprocal": q_join_pairing_reciprocal,
+        "join_vocab_materialized": q_join_vocab_materialized,
         "era_islands": q_era_islands,
         "era_stockpile": q_era_stockpile,
         "jsonb_predicate_scan": q_jsonb_predicate_scan,
@@ -681,6 +758,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT op, COUNT(*) AS n, MIN(lsn) AS lo_lsn, MAX(lsn) AS hi_lsn,
                    COUNT(DISTINCT conv_id) AS n_convs
             FROM feed GROUP BY op
+        """,
+        "cdc_rollup_final_state": _FEED_CTE
+        + """
+            , final AS (
+              SELECT conv_id, ts FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                                             ORDER BY ts DESC, lsn DESC) AS rn
+                FROM feed
+              ) WHERE rn = 1 AND op <> 'D'
+            )
+            SELECT conv_id, MIN(ts) AS period_start, MAX(ts) AS period_end,
+                   COUNT(*) AS n_turns
+            FROM final GROUP BY conv_id
+        """,
+        "mapper_tz_anchor": """
+            SELECT event_id,
+                   CAST(ts AT TIME ZONE 'UTC' AT TIME ZONE 'Europe/Berlin' AS TIMESTAMP) AS ts_berlin,
+                   date_trunc('day', CAST(ts AT TIME ZONE 'UTC' AT TIME ZONE 'Europe/Berlin' AS TIMESTAMP)) AS day_berlin
+            FROM events
+        """,
+        "mapper_absent_unwrap": """
+            SELECT event_id,
+                   ROUND(CASE WHEN event_type = 'error' THEN NULL ELSE value END, 6) AS value_unwrapped,
+                   CASE WHEN event_type = 'error' THEN 'masked-error' ELSE NULL END AS absent_reason
+            FROM events
+        """,
+        "join_vocab_materialized": """
+            SELECT r_name, n_name, COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 4) AS total_price
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
         """,
         "mapper_normalize_project": """
             SELECT 'evt-' || CAST(event_id AS VARCHAR) AS key_prefixed,

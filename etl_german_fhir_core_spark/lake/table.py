@@ -76,9 +76,14 @@ class SnapshotTable:
     Single-writer (the epoch manager serializes commits); many concurrent readers.
     """
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, committer=None):
+        from etl_german_fhir_core_spark.lake.commit import PosixCommitter
+
         self.spark = spark
         self.root = root
+        # pluggable PUT-IF-ABSENT (lake/commit.py): POSIX link() here; an object
+        # store swaps in a conditional-PUT committer without touching table logic
+        self.committer = committer or PosixCommitter()
 
     # ---------------------------------------------------------------- create/load
 
@@ -168,20 +173,12 @@ class SnapshotTable:
             return json.load(fh)
 
     def _write_manifest(self, manifest: dict) -> int:
-        """Atomic commit: exclusive-create of the next snapshot file. A concurrent
-        writer racing for the same snapshot id loses with FileExistsError (the
-        optimistic-concurrency conflict an Iceberg commit would surface)."""
+        """Atomic commit via the pluggable committer's PUT-IF-ABSENT: a concurrent
+        writer racing for the same snapshot id loses with CommitConflict (a
+        FileExistsError subclass — the optimistic-concurrency conflict an Iceberg
+        commit would surface)."""
         path = self._manifest_path(manifest["snapshot_id"])
-        tmp = path + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
-        try:
-            # link() is exclusive-create; rename() would silently clobber a racer.
-            os.link(tmp, path)
-        finally:
-            os.unlink(tmp)
+        self.committer.commit(path, json.dumps(manifest).encode("utf-8"))
         return manifest["snapshot_id"]
 
     # ---------------------------------------------------------------- properties

@@ -57,8 +57,9 @@ def jdbc_paged(
 ) -> DataFrame:
     """JDBC parallel scan (S1 analog: JdbcPagingItemReader ORDER BY id paging,
     TaskConfiguration.java:256-274). Spark's partitionColumn bounds replace keyset
-    pagination — each executor reads an id range. Requires a JDBC driver jar on the
-    classpath (none in this environment; gated at call time)."""
+    pagination — each executor reads an id range. Requires a JDBC driver jar on
+    the classpath (exercised end-to-end against embedded Derby in
+    tests/test_plans.py::test_jdbc_paged_scan_roundtrip_derby)."""
     reader = (
         spark.read.format("jdbc")
         .option("url", url)

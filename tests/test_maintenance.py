@@ -156,3 +156,41 @@ def test_crash_mid_merge_leaves_no_corruption(spark, tmp_path):
         ref,
     )
     shutil.rmtree(f"{work}/tbl_ref", ignore_errors=True)
+
+
+def test_commit_race_exactly_one_winner(spark, tmp_path):
+    """Two writers racing for the same snapshot id: exactly one commit wins, the
+    loser gets CommitConflict (FileExistsError) and the winner's manifest is the
+    one readers see — the optimistic-concurrency contract the committer must keep
+    on any store (POSIX link here; conditional PUT on S3/GCS)."""
+    import pyspark.sql.types as T
+    import pytest
+
+    from etl_german_fhir_core_spark.lake import CommitConflict, SnapshotTable
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    tbl = SnapshotTable.create(
+        spark, str(tmp_path / "race"), schema, ["conv_id", "turn_idx"], num_buckets=2
+    )
+    base = tbl.manifest()
+    winner = {**base, "snapshot_id": base["snapshot_id"] + 1,
+              "parent_id": base["snapshot_id"], "epoch_id": "winner"}
+    loser = {**base, "snapshot_id": base["snapshot_id"] + 1,
+             "parent_id": base["snapshot_id"], "epoch_id": "loser"}
+    tbl._write_manifest(winner)
+    with pytest.raises(CommitConflict):
+        tbl._write_manifest(loser)
+    with pytest.raises(FileExistsError):  # catchable as the stdlib class too
+        tbl._write_manifest(loser)
+    assert tbl.manifest()["epoch_id"] == "winner"
+    # no torn tmp files left behind
+    import os
+
+    mdir = os.path.join(str(tmp_path / "race"), "_manifests")
+    assert not [f for f in os.listdir(mdir) if ".tmp-" in f]
