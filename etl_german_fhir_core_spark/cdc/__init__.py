@@ -5,6 +5,7 @@ from etl_german_fhir_core_spark.cdc.engine import (
     CascadeSpec,
     CdcEngine,
     EpochResult,
+    ProjectionSpec,
     RollupSpec,
 )
 from etl_german_fhir_core_spark.cdc.feed import FEED_SCHEMA, synth_feed, write_feed
@@ -14,6 +15,7 @@ __all__ = [
     "CascadeSpec",
     "CdcEngine",
     "EpochResult",
+    "ProjectionSpec",
     "RollupSpec",
     "FEED_SCHEMA",
     "synth_feed",

@@ -84,6 +84,24 @@ class RollupSpec:
 
 
 @dataclass
+class ProjectionSpec:
+    """Per-record multi-table emission (W1/T15: the reference's per-resource
+    mapper emits condition_occurrence + measurement + observation rows from ONE
+    input record inside one transaction — ConditionMapper.java routes by domain,
+    OmopWriter flushes the wrapped batch).
+
+    ``transform(batch_df) -> child change batch`` (must keep the op/lsn columns
+    and produce the child table's key + payload columns; rows it drops are simply
+    not emitted to that child). Children are applied IN LIST ORDER after the main
+    merge — put FK parents before dependents, the analog of the reference's
+    FK-ordered flush. Each child commits under its own epoch ledger, so a crash
+    between child commits resumes exactly-once mid-fan-out."""
+
+    table: "object"  # child SnapshotTable
+    transform: "object"  # Callable[[DataFrame], DataFrame]
+
+
+@dataclass
 class CascadeSpec:
     """Cross-table cascade delete (reference O9: FKs rewritten to ON DELETE
     CASCADE so a person/visit delete fans out,
@@ -113,6 +131,7 @@ class CdcEngine:
     max_retries: int = 3
     rollups: list[RollupSpec] = field(default_factory=list)
     cascades: list[CascadeSpec] = field(default_factory=list)
+    projections: list[ProjectionSpec] = field(default_factory=list)
     results: list[EpochResult] = field(default_factory=list)
 
     # ------------------------------------------------------------------ planning
@@ -150,6 +169,7 @@ class CdcEngine:
             # and repairs the divergence when not (the batch re-derivation from
             # the LSN range is deterministic).
             res.skipped_commit = True
+            self._apply_projections(batch, epoch_id)
             self._apply_cascades(batch, epoch_id)
             self._fold_rollups(batch, epoch_id)
             self.results.append(res)
@@ -189,7 +209,9 @@ class CdcEngine:
         # queues older than this epoch are dead and can be garbage-collected
         cleanup_retry()
 
-        # derived tables: cascade deletes fan out first, then rollups fold/recompute
+        # derived tables: FK-ordered multi-table fan-out, then cascade deletes,
+        # then rollups (state-mode rollups read the post-merge main table)
+        self._apply_projections(batch, epoch_id)
         self._apply_cascades(batch, epoch_id)
         self._fold_rollups(batch, epoch_id)
 
@@ -240,6 +262,12 @@ class CdcEngine:
         else:
             state = self.table.read()
         return state.join(keys, on=scope, how="left_semi")
+
+    def _apply_projections(self, batch: DataFrame, epoch_id: str) -> None:
+        """Fan the epoch's changes out to per-domain child tables, in list order
+        (FK parents first). Each child's own ledger makes replays no-ops."""
+        for spec in self.projections:
+            spec.table.merge(spec.transform(batch), epoch_id=epoch_id)
 
     def _apply_cascades(self, batch: DataFrame, epoch_id: str) -> None:
         """Fan a parent delete out to child tables (O9). Commits under the child's

@@ -1,0 +1,138 @@
+"""W1/T15: per-record multi-table fan-out — one change feed routed into multiple
+domain tables per epoch, FK-ordered, exactly-once per child, resume-safe
+(reference: ConditionMapper emits condition_occurrence/measurement/observation
+from one resource; OmopWriter flushes the wrapped batch per transaction)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_german_fhir_core_spark.cdc import CdcEngine, ProjectionSpec
+from etl_german_fhir_core_spark.lake import SnapshotTable
+
+TARGET = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+USER_TURNS = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+TOOL_CALLS = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+TS0 = dt.datetime(2025, 1, 1)
+
+
+def _mk_feed(spark, path, n=60):
+    rows = []
+    for i in range(n):
+        role = ["user", "assistant", "tool"][i % 3]
+        rows.append((i + 1, "I", f"c{i % 5}", i % 12, role, f"text {i}",
+                     f"tool_{i % 4}" if role == "tool" else None,
+                     TS0 + dt.timedelta(seconds=i)))
+    spark.createDataFrame(
+        rows,
+        "lsn long, op string, conv_id string, turn_idx int, role string, "
+        "text string, tool string, ts timestamp",
+    ).write.parquet(path)
+
+
+def _route_user(batch):
+    return batch.filter(F.col("role") == "user").select(
+        "op", "lsn", "conv_id", "turn_idx", "text", "ts"
+    )
+
+
+def _route_tool(batch):
+    return batch.filter(F.col("role") == "tool").select(
+        "op", "lsn", "conv_id", "turn_idx", "tool", "ts"
+    )
+
+
+def _mk(spark, tmp_path, tag):
+    feed_path = str(tmp_path / "feed")
+    main = SnapshotTable.create(
+        spark, str(tmp_path / f"main_{tag}"), TARGET, ["conv_id", "turn_idx"], num_buckets=4
+    )
+    ut = SnapshotTable.create(
+        spark, str(tmp_path / f"ut_{tag}"), USER_TURNS, ["conv_id", "turn_idx"], num_buckets=4
+    )
+    tc = SnapshotTable.create(
+        spark, str(tmp_path / f"tc_{tag}"), TOOL_CALLS, ["conv_id", "turn_idx"], num_buckets=4
+    )
+    return feed_path, main, ut, tc
+
+
+def _eng(spark, feed_path, main, ut, tc):
+    return CdcEngine(
+        spark, feed_path, main, epoch_rows=20,
+        projections=[
+            ProjectionSpec(table=ut, transform=_route_user),
+            ProjectionSpec(table=tc, transform=_route_tool),
+        ],
+    )
+
+
+def _state(tbl):
+    return (
+        tbl.read().toPandas()
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def test_multi_table_fanout_routes_and_resumes(spark, tmp_path):
+    _mk_feed(spark, str(tmp_path / "feed"))
+
+    feed_path, main, ut, tc = _mk(spark, tmp_path, "a")
+    _eng(spark, feed_path, main, ut, tc).run()
+    assert main.read().count() == 60
+    assert ut.read().count() == 20 and tc.read().count() == 20
+    assert {r["tool"] for r in tc.read().select("tool").distinct().collect()} == {
+        "tool_0", "tool_1", "tool_2", "tool_3"
+    }
+    # children committed per epoch (3 epochs of 20)
+    assert len(ut.committed_epochs()) == 3
+
+    # kill-and-resume: children written by a fresh engine match uninterrupted run
+    feed_path, main_b, ut_b, tc_b = _mk(spark, tmp_path, "b")
+    _eng(spark, feed_path, main_b, ut_b, tc_b).run(max_epochs=1)
+    _eng(spark, feed_path, main_b, ut_b, tc_b).run()
+    pd.testing.assert_frame_equal(_state(ut), _state(ut_b))
+    pd.testing.assert_frame_equal(_state(tc), _state(tc_b))
+
+    # crash between main commit and child fan-out: resume repairs the children
+    feed_path, main_c, ut_c, tc_c = _mk(spark, tmp_path, "c")
+    CdcEngine(spark, feed_path, main_c, epoch_rows=20).run()  # no projections wired
+    assert ut_c.read().count() == 0
+    res = _eng(spark, feed_path, main_c, ut_c, tc_c).run()
+    assert all(r.skipped_commit for r in res)
+    pd.testing.assert_frame_equal(_state(ut), _state(ut_c))
+
+    # replay is a no-op for children
+    sid = ut_b.current_snapshot_id()
+    _eng(spark, feed_path, main_b, ut_b, tc_b).run()
+    assert ut_b.current_snapshot_id() == sid
