@@ -413,6 +413,31 @@ def q_era_stockpile(spark, sf_dir):
     )
 
 
+def q_era_ingredient_rollup(spark, sf_dir):
+    """J10: roll the exposure code up to its ancestor concept through a broadcast
+    dim chain BEFORE era building (post_process_drug_era.sql:17-47:
+    drug_exposure ⋈ concept_ancestor ⋈ concept → RxNorm Ingredient), then
+    gaps-and-islands eras per (person, ancestor). The ancestor map is
+    many-to-one (types of equal name length share a group)."""
+    from etl_german_fhir_core_spark.operators.eras import collapse_eras
+
+    e = _t(spark, sf_dir, "events")
+    concept = (
+        e.select("event_type").distinct()
+        .withColumn("mid", F.length("event_type"))
+    )
+    ancestor = (
+        concept.select("mid").distinct()
+        .withColumn("anc", F.concat(F.lit("grp-"), F.col("mid").cast("string")))
+    )
+    j = (
+        e.join(F.broadcast(concept), "event_type")
+        .join(F.broadcast(ancestor), "mid")
+        .select("user_id", "anc", "ts")
+    )
+    return collapse_eras(j, ["user_id", "anc"], "ts", gap_seconds=1800)
+
+
 def q_jsonb_predicate_scan(spark, sf_dir):
     """S2: predicate pushdown into the JSON payload (Encounter contact-level split
     analog — TaskConfiguration.java:284-306): route events by a JSON field parity."""
@@ -608,6 +633,36 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash_buckets(d, "doc_id", "text", n=3, prefix_bits=16)
 
 
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (the dedup-family vector variant): exact
+    all-pairs cosine ≥ 0.4, id1 < id2 (synthetic embeddings are near-orthogonal —
+    max pairwise cosine ~0.51). Brute force is the verification baseline;
+    at corpus scale candidates come from the LSH/IVF ANN operators first and only
+    candidate pairs get the exact cosine (same shape as minhash verify)."""
+    from etl_german_fhir_core_spark.operators.similarity import cosine_similarity
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("id1"), F.col("v").alias("v1"))
+    b = emb.select(F.col("vec_id").alias("id2"), F.col("v").alias("v2"))
+    pairs = a.join(b, F.col("id1") < F.col("id2"))
+    sim = cosine_similarity(F.col("v1"), F.col("v2"))
+    return (
+        pairs.select("id1", "id2", F.round(sim, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.4)
+    )
+
+
+def q_text_fingerprint(spark, sf_dir):
+    """Document fingerprinting: deterministic 64-bit content hash of normalized
+    text (rolling-hash analog; xxhash64-based → rows-only, no SQL oracle)."""
+    from etl_german_fhir_core_spark.functions.text import doc_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
 # --------------------------------------------------------------------------- vectors
 
 def q_sim_cosine_topk(spark, sf_dir):
@@ -686,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_vocab_materialized": q_join_vocab_materialized,
         "era_islands": q_era_islands,
         "era_stockpile": q_era_stockpile,
+        "era_ingredient_rollup": q_era_ingredient_rollup,
         "jsonb_predicate_scan": q_jsonb_predicate_scan,
         "compound_pack_unpack": q_compound_pack_unpack,
         "agg_observation_period": q_agg_observation_period,
@@ -701,6 +757,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "text_fingerprint": q_text_fingerprint,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_ivf": q_sim_ann_ivf,
@@ -904,6 +962,32 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events
             FROM numbered GROUP BY user_id, era_id
         """,
+        "era_ingredient_rollup": """
+            WITH concept AS (
+              SELECT DISTINCT event_type, length(event_type) AS mid FROM events
+            ), ancestor AS (
+              SELECT DISTINCT mid, 'grp-' || CAST(mid AS VARCHAR) AS anc FROM concept
+            ), j AS (
+              SELECT e.user_id, a.anc, e.ts
+              FROM events e
+              JOIN concept c ON e.event_type = c.event_type
+              JOIN ancestor a ON c.mid = a.mid
+            ), flagged AS (
+              SELECT user_id, anc, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_era
+              FROM j
+              WINDOW w AS (PARTITION BY user_id, anc ORDER BY ts)
+            ), numbered AS (
+              SELECT user_id, anc, ts,
+                     CAST(SUM(new_era) OVER (PARTITION BY user_id, anc ORDER BY ts
+                                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS era_id
+              FROM flagged
+            )
+            SELECT user_id, anc, era_id, MIN(ts) AS era_start, MAX(ts) AS era_end,
+                   COUNT(*) AS n_events
+            FROM numbered GROUP BY user_id, anc, era_id
+        """,
         "jsonb_predicate_scan": """
             SELECT CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) % 2 = 0
                         THEN 'einrichtungskontakt' ELSE 'abteilungskontakt' END AS contact_level,
@@ -1024,6 +1108,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes s1 ON s1.doc_id = id1
             JOIN sizes s2 ON s2.doc_id = id2
             WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.5
+        """,
+        "dedup_embedding_cosine": """
+            SELECT id1, id2, cos_sim FROM (
+              SELECT a.vec_id AS id1, b.vec_id AS id2,
+                     ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                  CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            ) WHERE cos_sim >= 0.4
         """,
         "sim_cosine_topk": """
             SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, CAST(rank AS INTEGER) AS rank FROM (
