@@ -248,3 +248,20 @@ def test_retry_queue_survives_engine_restart(spark, tmp_path):
     assert res[0].skipped_commit and res[1].retried == 1
     state = {(r["conv_id"], r["turn_idx"]) for r in SnapshotTable.load(spark, root).read().collect()}
     assert ("cX", 3) in state and ("cX", 0) in state
+
+
+def test_epoch_split_invariance(spark, tmp_path):
+    """Replay determinism across arbitrary micro-batch boundaries: the SAME feed
+    applied with different epoch sizes (and in differently-ordered files) must
+    produce bit-identical final state — the north rule's 'deterministic input
+    set = exactly-once' invariant, independent of how the WAL is chunked."""
+    feed_path = str(tmp_path / "feed")
+    _mk_feed(spark, feed_path, n_events=3000)
+
+    states = []
+    for i, rows in enumerate((500, 1100, 3000)):
+        eng = _mk_engine(spark, feed_path, str(tmp_path / f"tbl_{i}"), epoch_rows=rows)
+        eng.run()
+        states.append(_final_state(eng.table))
+    pd.testing.assert_frame_equal(states[0], states[1])
+    pd.testing.assert_frame_equal(states[0], states[2])
