@@ -63,3 +63,50 @@ def test_stream_ingest_matches_oracle_and_resumes(spark, tmp_path):
     )
     cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
     pd.testing.assert_frame_equal(got[cols], oracle[cols], check_dtype=False)
+
+
+def test_streaming_session_eras_matches_batch_collapse(spark, tmp_path):
+    """Watermarked session-window eras over a stream equal the batch
+    gaps-and-islands collapse on the same events (era extents + event counts;
+    era numbering is a batch-side artifact). Append mode emits each closed era
+    exactly once."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from etl_german_fhir_core_spark.operators.eras import collapse_eras
+    from etl_german_fhir_core_spark.streaming import streaming_session_eras
+
+    TS0 = dt.datetime(2025, 1, 1)
+    rows = []
+    for u in (1, 2):
+        # era A: three events 5 min apart; era B: 2h later, one event
+        for k in range(3):
+            rows.append((u, TS0 + dt.timedelta(minutes=5 * k + u)))
+        rows.append((u, TS0 + dt.timedelta(hours=2, minutes=u)))
+    # sentinel far in the future: advances the watermark so every real session
+    # CLOSES and is emitted (append mode only emits watermark-passed sessions)
+    rows.append((999, TS0 + dt.timedelta(days=1)))
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    feed_path = str(tmp_path / "sess_feed")
+    df.write.parquet(feed_path)
+
+    src = spark.readStream.schema(df.schema).parquet(feed_path)
+    out = streaming_session_eras(src, ["user_id"], "ts", gap_seconds=1800,
+                                 watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("sess_eras")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["era_start"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sess_eras WHERE user_id <> 999").collect()
+    }
+    expect = {
+        (r["user_id"], r["era_start"], r["n_events"])
+        for r in collapse_eras(
+            df.filter("user_id <> 999"), ["user_id"], "ts", gap_seconds=1800
+        ).collect()
+    }
+    assert got == expect and len(got) == 4  # 2 users x 2 eras
