@@ -5,6 +5,7 @@ from etl_german_fhir_core_spark.multimodal.binary import (
     decode_image_stub,
     extract_features,
     frame_sample_plan,
+    resize_images,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "decode_image_stub",
     "extract_features",
     "frame_sample_plan",
+    "resize_images",
 ]

@@ -89,6 +89,51 @@ def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(_decode, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, target_w: int, target_h: int, payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched image resize over ``mapInPandas`` — same contract as
+    extract_features: the Spark plumbing (schema, batch shape, binary-out column)
+    is real; the pixel resample itself is STUBBED deterministically (no codec
+    libs in this container — a real deployment replaces the inner function with
+    e.g. PIL ``Image.resize`` on the decoded array, identical signature).
+
+    The fake emits ``target_w * target_h`` bytes derived from a rolling hash of
+    the source payload, so output size and determinism are test-checkable."""
+
+    def _resize_stub(payload: bytes) -> bytes:
+        h = 2166136261
+        for b in payload[:256]:
+            h = ((h ^ b) * 16777619) & 0xFFFFFFFF
+        n = target_w * target_h
+        return bytes((h >> (8 * (i % 4))) & 0xFF for i in range(min(n, 4096)))
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": target_w,
+                    "height": target_h,
+                    "payload": pdf[payload_col].map(
+                        lambda p: _resize_stub(bytes(p)) if p is not None else None
+                    ),
+                }
+            )
+
+    return df.mapInPandas(_batches, RESIZED_SCHEMA)
+
+
 def frame_sample_plan(
     df: DataFrame, every_n: int = 10, frame_count_col: str = "n_frames"
 ) -> DataFrame:

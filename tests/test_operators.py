@@ -272,3 +272,21 @@ def test_dense_surrogate_ids_no_single_partition_exchange(spark):
     df = spark.range(500).select(F.col("id").alias("doc_id"))
     out = dense_surrogate_ids(df, "doc_id", num_partitions=8)
     assert "SinglePartition" not in explain_str(out, "simple")
+
+
+def test_multimodal_resize_stub(spark):
+    """Resize plumbing: Arrow batches in/out, typed binary output of the target
+    size, deterministic across runs, null payloads pass through as null."""
+    from etl_german_fhir_core_spark.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"img-one")), (2, bytearray(b"img-two")), (3, None)],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in resize_images(df, 8, 4).collect()}
+    assert out[1]["width"] == 8 and out[1]["height"] == 4
+    assert len(out[1]["payload"]) == 32  # target_w * target_h bytes
+    assert out[3]["payload"] is None
+    out2 = {r["doc_id"]: r for r in resize_images(df, 8, 4).collect()}
+    assert bytes(out[1]["payload"]) == bytes(out2[1]["payload"])  # deterministic
+    assert bytes(out[1]["payload"]) != bytes(out[2]["payload"])
