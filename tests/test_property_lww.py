@@ -1,0 +1,94 @@
+"""Property-based LWW correctness: for RANDOM event sequences (hypothesis) with
+forced timestamp ties, duplicate keys, tombstones, and out-of-order arrival, the
+engine's epoch-split merge must equal the sequential pandas oracle — the
+table-state-equivalence contract under adversarial inputs (ts ties are broken by
+lsn; tombstones must not be resurrected by older events)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from etl_german_fhir_core_spark.cdc import CdcEngine, replay_oracle
+from etl_german_fhir_core_spark.lake import SnapshotTable
+
+TS0 = dt.datetime(2025, 1, 1)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+# small domains force key collisions and ts ties; ops weighted toward updates
+events_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["cA", "cB"]),          # conv_id
+        st.integers(0, 2),                      # turn_idx
+        st.sampled_from(["I", "U", "U", "D"]),  # op
+        st.integers(0, 3),                      # ts offset seconds (ties likely)
+        st.sampled_from(["x", "y", "zz"]),      # text payload
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@pytest.fixture(scope="module")
+def _spark(spark):
+    return spark
+
+
+@given(events=events_strategy)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_lww_state_matches_oracle_on_random_feeds(_spark, tmp_path_factory, events):
+    spark = _spark
+    rows = [
+        (
+            i + 1,  # lsn: arrival order
+            op,
+            conv,
+            turn,
+            None if op == "D" else "user",
+            None if op == "D" else text,
+            None,
+            TS0 + dt.timedelta(seconds=ts_off),
+        )
+        for i, (conv, turn, op, ts_off, text) in enumerate(events)
+    ]
+    feed = spark.createDataFrame(
+        rows,
+        "lsn long, op string, conv_id string, turn_idx int, role string, "
+        "text string, tool string, ts timestamp",
+    )
+    tmp = tmp_path_factory.mktemp("prop")
+    feed_path = str(tmp / "feed")
+    feed.write.parquet(feed_path)
+
+    tbl = SnapshotTable.create(
+        spark, str(tmp / "tbl"), SCHEMA, ["conv_id", "turn_idx"], num_buckets=2
+    )
+    # tiny epochs: every LSN range boundary becomes a merge boundary
+    CdcEngine(spark, feed_path, tbl, epoch_rows=5, normalize=False).run()
+
+    got = (
+        tbl.read().toPandas()[["conv_id", "turn_idx", "text", "ts"]]
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    expect = replay_oracle(feed.toPandas())[["conv_id", "turn_idx", "text", "ts"]]
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
