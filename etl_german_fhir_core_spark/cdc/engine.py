@@ -132,6 +132,11 @@ class CdcEngine:
     rollups: list[RollupSpec] = field(default_factory=list)
     cascades: list[CascadeSpec] = field(default_factory=list)
     projections: list[ProjectionSpec] = field(default_factory=list)
+    # small-file maintenance cadence: every k-th applied epoch, buckets holding
+    # >1 file (salted multi-file staging) are rewritten to one file each —
+    # Iceberg's rewrite_data_files analog, idempotent under its own ledger entry
+    # (<epoch>/compact), so kill-and-resume replays it safely. None = manual.
+    compact_every: int | None = None
     results: list[EpochResult] = field(default_factory=list)
 
     # ------------------------------------------------------------------ planning
@@ -172,6 +177,7 @@ class CdcEngine:
             self._apply_projections(batch, epoch_id)
             self._apply_cascades(batch, epoch_id)
             self._fold_rollups(batch, epoch_id)
+            self._maybe_compact(epoch_id)
             self.results.append(res)
             return res
 
@@ -214,6 +220,7 @@ class CdcEngine:
         self._apply_projections(batch, epoch_id)
         self._apply_cascades(batch, epoch_id)
         self._fold_rollups(batch, epoch_id)
+        self._maybe_compact(epoch_id)
 
         if self.lineage_path:
             self._write_lineage(epoch_id, lo, hi, per_bucket, res)
@@ -268,6 +275,16 @@ class CdcEngine:
         (FK parents first). Each child's own ledger makes replays no-ops."""
         for spec in self.projections:
             spec.table.merge(spec.transform(batch), epoch_id=epoch_id)
+
+    def _maybe_compact(self, epoch_id: str) -> None:
+        """Scheduled small-file compaction (epoch ids are a deterministic
+        sequence, so 'every k-th epoch' is replay-stable; SnapshotTable.compact
+        skips when no bucket holds >1 file or the ledger already has it)."""
+        if not self.compact_every:
+            return
+        s = str(epoch_id)
+        if s.startswith("e") and s[1:].isdigit() and int(s[1:]) % self.compact_every == 0:
+            self.table.compact(epoch_id=f"{epoch_id}/compact")
 
     def _apply_cascades(self, batch: DataFrame, epoch_id: str) -> None:
         """Fan a parent delete out to child tables (O9). Commits under the child's

@@ -194,3 +194,48 @@ def test_commit_race_exactly_one_winner(spark, tmp_path):
 
     mdir = os.path.join(str(tmp_path / "race"), "_manifests")
     assert not [f for f in os.listdir(mdir) if ".tmp-" in f]
+
+
+def test_engine_scheduled_compaction(spark, tmp_path):
+    """compact_every: salted multi-file buckets get rewritten to one file per
+    bucket on schedule; state unchanged; replay/resume safe (ledger-gated)."""
+    import pyspark.sql.types as T
+
+    from etl_german_fhir_core_spark.cdc import CdcEngine, synth_feed, write_feed
+    from etl_german_fhir_core_spark.lake import SnapshotTable
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("role", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("tool", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    feed_path = str(tmp_path / "feed")
+    write_feed(synth_feed(spark, 2000, n_convs=30, max_turns=8, ooo_frac=0.1),
+               feed_path, 2)
+    tbl = SnapshotTable.create(
+        spark, str(tmp_path / "t"), schema, ["conv_id", "turn_idx"],
+        num_buckets=4, files_per_bucket=4,  # salted multi-file staging
+    )
+    eng = CdcEngine(spark, feed_path, tbl, epoch_rows=1000, compact_every=2)
+    eng.run()
+
+    m = tbl.manifest()
+    assert all(len(fs) <= 1 for fs in m["files"].values())  # compacted
+    assert any(e.endswith("/compact") for e in m["committed_epochs"])
+    state_before = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"]) for r in tbl.read().collect()
+    )
+
+    # replay: everything (incl. compaction epochs) is a no-op
+    sid = tbl.current_snapshot_id()
+    CdcEngine(spark, feed_path, tbl, epoch_rows=1000, compact_every=2).run()
+    assert tbl.current_snapshot_id() == sid
+    state_after = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"]) for r in tbl.read().collect()
+    )
+    assert state_before == state_after
