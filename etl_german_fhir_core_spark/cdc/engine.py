@@ -127,6 +127,11 @@ class CdcEngine:
     max_text_len: int | None = 32768
     lineage_path: str | None = None
     retry_path: str | None = None
+    # invalid rows (validity-gate failures) are preserved here per epoch instead of
+    # vanishing into a counter — the dead-letter-queue every production CDC sink
+    # needs for replay/debugging (the reference only counts them,
+    # FhirToOmopJobListener.java:283-354; counting alone loses the payload)
+    dead_letter_path: str | None = None
     require_turn0: bool = False  # late-reference gate (J6 analog)
     max_retries: int = 3
     rollups: list[RollupSpec] = field(default_factory=list)
@@ -188,6 +193,12 @@ class CdcEngine:
         per_bucket, res.rows_in = self._bucket_stats(batch)
 
         valid, _cond = validity_filter(batch, self.table.key_cols())
+        if self.dead_letter_path:
+            # epoch-named dir + deterministic content = idempotent on replay;
+            # written BEFORE the merge so 'epoch committed' ⇒ dead letters exist
+            batch.filter(~_cond).write.mode("overwrite").parquet(
+                os.path.join(self.dead_letter_path, f"epoch={epoch_id}")
+            )
         # valid-row count rides on the merge's own write action (no extra pass)
         valid_obs = Observation(f"valid-{epoch_id}")
         valid = valid.observe(valid_obs, F.count(F.lit(1)).alias("n_valid"))

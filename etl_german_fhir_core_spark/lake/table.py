@@ -270,19 +270,36 @@ class SnapshotTable:
                 ]
         return out
 
+    # Iceberg-compatible safe type promotions (spec: int→long, float→double,
+    # decimal scale-preserving widening — we support the two primitive ones)
+    _WIDENINGS = {
+        (T.IntegerType(), T.LongType()),
+        (T.FloatType(), T.DoubleType()),
+    }
+
     def _evolve_schema(self, batch_schema: T.StructType) -> T.StructType:
-        """Additive union of the current table schema and the batch schema (new
-        columns appended, all nullable). Type changes are rejected — same contract as
-        the reference's ADD COLUMN IF NOT EXISTS migrations."""
+        """Additive union of the current table schema and the batch schema: new
+        columns appended (nullable), existing columns may WIDEN along Iceberg's
+        safe promotions (int→long, float→double — old files read through the
+        widened type losslessly). Any other type change is rejected — same
+        contract as the reference's ADD COLUMN IF NOT EXISTS migrations."""
         current = self.schema()
         names = {f.name: f for f in current}
         out = list(current.fields)
         for f in batch_schema.fields:
             if f.name in names:
-                if f.dataType != names[f.name].dataType and f.name != LSN_COL:
+                cur_t = names[f.name].dataType
+                if f.dataType == cur_t or f.name == LSN_COL:
+                    continue
+                if (cur_t, f.dataType) in self._WIDENINGS:
+                    i = next(j for j, g in enumerate(out) if g.name == f.name)
+                    out[i] = T.StructField(f.name, f.dataType, True)
+                elif (f.dataType, cur_t) in self._WIDENINGS:
+                    pass  # batch is narrower — conform() upcasts it
+                else:
                     raise TypeError(
                         f"incompatible evolution for column {f.name}: "
-                        f"{names[f.name].dataType} -> {f.dataType}"
+                        f"{cur_t} -> {f.dataType}"
                     )
             else:
                 out.append(T.StructField(f.name, f.dataType, True))

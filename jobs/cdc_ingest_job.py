@@ -29,6 +29,14 @@ def main() -> None:
     ap.add_argument("--num-buckets", type=int, default=16)
     ap.add_argument("--skew-frac", type=float, default=0.0)
     ap.add_argument("--lineage", default=None)
+    ap.add_argument("--rollup", default=None,
+                    help="maintain a per-conversation period rollup table at this "
+                         "root (state-mode: delete-aware, recomputed from final "
+                         "LWW state per epoch)")
+    ap.add_argument("--dead-letter", default=None,
+                    help="preserve validity-gate failures per epoch under this dir")
+    ap.add_argument("--compact-every", type=int, default=None,
+                    help="rewrite multi-file buckets to one file every k-th epoch")
     ap.add_argument("--max-epochs", type=int, default=None)
     ap.add_argument("--gen-only", action="store_true",
                     help="only synthesize the feed, then exit (keeps bench runs "
@@ -79,8 +87,44 @@ def main() -> None:
             spark, args.table, schema, ["conv_id", "turn_idx"], num_buckets=args.num_buckets
         )
 
+    rollups = []
+    if args.rollup:
+        from pyspark.sql import functions as F
+
+        from etl_german_fhir_core_spark.cdc import RollupSpec
+
+        rollup_schema = T.StructType(
+            [
+                T.StructField("conv_id", T.StringType(), False),
+                T.StructField("period_start", T.TimestampType(), True),
+                T.StructField("period_end", T.TimestampType(), True),
+                T.StructField("n_turns", T.LongType(), True),
+            ]
+        )
+        rtbl = (
+            SnapshotTable.load(spark, args.rollup)
+            if SnapshotTable.exists(args.rollup)
+            else SnapshotTable.create(
+                spark, args.rollup, rollup_schema, ["conv_id"],
+                num_buckets=args.num_buckets,
+            )
+        )
+        rollups.append(
+            RollupSpec(
+                table=rtbl,
+                partial=lambda state: state.groupBy("conv_id").agg(
+                    F.min("ts").alias("period_start"),
+                    F.max("ts").alias("period_end"),
+                    F.count("*").alias("n_turns"),
+                ),
+                mode="state",
+            )
+        )
+
     eng = CdcEngine(
-        spark, args.feed, tbl, epoch_rows=args.epoch_rows, lineage_path=args.lineage
+        spark, args.feed, tbl, epoch_rows=args.epoch_rows, lineage_path=args.lineage,
+        rollups=rollups, dead_letter_path=args.dead_letter,
+        compact_every=args.compact_every,
     )
     if args.repeat_epoch:
         eng.run(max_epochs=1)  # warmup + establish steady-state table

@@ -265,3 +265,39 @@ def test_epoch_split_invariance(spark, tmp_path):
         states.append(_final_state(eng.table))
     pd.testing.assert_frame_equal(states[0], states[1])
     pd.testing.assert_frame_equal(states[0], states[2])
+
+
+def test_dead_letter_queue_preserves_invalid_rows(spark, tmp_path):
+    """Validity-gate failures are written to the DLQ per epoch (payload preserved
+    for replay/debugging), counted in rows_skipped, and absent from the table."""
+    import datetime as dt
+    import os
+
+    TS0 = dt.datetime(2025, 1, 1)
+    rows = [
+        ("I", 1, "c1", 0, "user", "good", None, TS0),
+        ("I", 2, None, 1, "user", "missing conv", None, TS0),     # invalid: no key
+        ("I", 3, "c1", 2, "user", None, None, TS0),               # invalid: no text
+        ("D", 4, "c9", 0, None, None, None, TS0),                 # valid delete
+    ]
+    feed = spark.createDataFrame(
+        [(r[1], r[0], r[2], r[3], r[4], r[5], r[6], r[7]) for r in rows],
+        "lsn long, op string, conv_id string, turn_idx int, role string, "
+        "text string, tool string, ts timestamp",
+    )
+    feed_path = str(tmp_path / "feed")
+    feed.write.parquet(feed_path)
+    root = str(tmp_path / "tbl")
+    SnapshotTable.create(spark, root, TARGET_SCHEMA, ["conv_id", "turn_idx"], num_buckets=2)
+    dlq = str(tmp_path / "dlq")
+    eng = CdcEngine(
+        spark, feed_path, SnapshotTable.load(spark, root),
+        epoch_rows=100, dead_letter_path=dlq,
+    )
+    res = eng.run()
+    assert res[0].rows_skipped == 2
+    dead = spark.read.parquet(os.path.join(dlq, "epoch=e000001"))
+    assert {r["lsn"] for r in dead.collect()} == {2, 3}
+    assert dead.filter("lsn = 2").collect()[0]["text"] == "missing conv"  # payload kept
+    state = {(r["conv_id"], r["turn_idx"]) for r in eng.table.read().collect()}
+    assert state == {("c1", 0)}

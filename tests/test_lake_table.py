@@ -215,3 +215,59 @@ def test_overwrite_and_delete_where_and_vacuum(spark, tmp_path):
     removed = tbl.vacuum()
     assert removed > 0
     assert _state(tbl) == {("c8", 0): "keep"}  # current snapshot intact
+
+
+def test_schema_evolution_type_widening(spark, tmp_path):
+    """Iceberg-style safe promotion: a column arriving as LONG widens an INT
+    column; pre-widening files (int32 parquet) read through the widened schema
+    losslessly; a narrower batch after widening upcasts. Unsafe changes reject."""
+    import datetime as dt
+
+    import pyspark.sql.types as T
+    import pytest
+
+    from etl_german_fhir_core_spark.lake import SnapshotTable
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("score", T.IntegerType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    tbl = SnapshotTable.create(
+        spark, str(tmp_path / "t"), schema, ["conv_id", "turn_idx"], num_buckets=2
+    )
+    ts = dt.datetime(2025, 1, 1)
+    b1 = spark.createDataFrame(
+        [("I", 1, "c1", 0, 7, ts)],
+        "op string, lsn long, conv_id string, turn_idx int, score int, ts timestamp",
+    )
+    tbl.merge(b1, epoch_id="1")
+
+    # widen: score arrives as LONG (value beyond int32)
+    b2 = spark.createDataFrame(
+        [("I", 2, "c2", 0, 5_000_000_000, ts)],
+        "op string, lsn long, conv_id string, turn_idx int, score long, ts timestamp",
+    )
+    tbl.merge(b2, epoch_id="2")
+    assert dict(tbl.schema()["score"].jsonValue().items())["type"] == "long"
+    got = {r["conv_id"]: r["score"] for r in tbl.read().collect()}
+    assert got == {"c1": 7, "c2": 5_000_000_000}  # old int32 file reads as long
+
+    # narrower batch after widening upcasts fine
+    b3 = spark.createDataFrame(
+        [("I", 3, "c3", 0, 9, ts)],
+        "op string, lsn long, conv_id string, turn_idx int, score int, ts timestamp",
+    )
+    tbl.merge(b3, epoch_id="3")
+    assert {r["score"] for r in tbl.read().collect()} == {7, 5_000_000_000, 9}
+
+    # unsafe change still rejected
+    b4 = spark.createDataFrame(
+        [("I", 4, "c4", 0, "not-a-number", ts)],
+        "op string, lsn long, conv_id string, turn_idx int, score string, ts timestamp",
+    )
+    with pytest.raises(TypeError):
+        tbl.merge(b4, epoch_id="4")
