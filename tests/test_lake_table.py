@@ -271,3 +271,46 @@ def test_schema_evolution_type_widening(spark, tmp_path):
     )
     with pytest.raises(TypeError):
         tbl.merge(b4, epoch_id="4")
+
+
+def test_snapshot_isolation_and_time_travel(spark, tmp_path):
+    """Readers pinned to a snapshot id keep seeing that exact state after later
+    merges (CoW never mutates live files); vacuum() is what destroys time travel,
+    and only for superseded snapshots."""
+    import datetime as dt
+
+    import pyspark.sql.types as T
+
+    from etl_german_fhir_core_spark.lake import SnapshotTable
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    tbl = SnapshotTable.create(
+        spark, str(tmp_path / "t"), schema, ["conv_id", "turn_idx"], num_buckets=2
+    )
+    ts = dt.datetime(2025, 1, 1)
+
+    def batch(lsn, text):
+        return spark.createDataFrame(
+            [("U", lsn, "c1", 0, text, ts + dt.timedelta(seconds=lsn))],
+            "op string, lsn long, conv_id string, turn_idx int, text string, ts timestamp",
+        )
+
+    tbl.merge(batch(1, "v1"), epoch_id="1")
+    sid_v1 = tbl.current_snapshot_id()
+    tbl.merge(batch(2, "v2"), epoch_id="2")
+
+    # pinned reader sees the old state; head reader sees the new one
+    assert [r["text"] for r in tbl.read(snapshot_id=sid_v1).collect()] == ["v1"]
+    assert [r["text"] for r in tbl.read().collect()] == ["v2"]
+
+    # vacuum removes superseded files → time travel gone, head unaffected
+    removed = tbl.vacuum()
+    assert removed >= 1
+    assert [r["text"] for r in tbl.read().collect()] == ["v2"]
