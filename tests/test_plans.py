@@ -109,3 +109,33 @@ def test_jdbc_paged_scan_roundtrip_derby(spark):
     assert df.rdd.getNumPartitions() == 4  # bounds → 4 parallel range scans
     rows = {r["ID"] if "ID" in df.columns else r["id"]: r[df.columns[1]] for r in df.collect()}
     assert len(rows) == 100 and rows[42] == "n42"
+
+
+def test_round2_query_plan_shapes(spark):
+    """Plan regressions for the round-2 driver queries: dim joins stay broadcast,
+    scalar mappers stay map-only (zero exchanges) with column-pruned scans, the
+    LWW flagship costs exactly one hash exchange."""
+    import __spark_entry__ as E
+    from etl_german_fhir_core_spark.plans import (
+        count_exchanges,
+        explain_str,
+        has_broadcast_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    qs = E.queries()
+
+    vocab = qs["join_vocab_materialized"](spark, sf)
+    assert has_broadcast_join(vocab)
+    assert count_exchanges(vocab) <= 1  # only the final groupBy
+
+    tz = qs["mapper_tz_anchor"](spark, sf)
+    assert count_exchanges(tz) == 0  # pure map, session-TZ-independent
+    rs = "".join(explain_str(tz).split("ReadSchema:")[1:])
+    assert "event_id" in rs and "props" not in rs  # payload column pruned
+
+    lww = qs["cdc_lww_final_state"](spark, sf)
+    assert count_exchanges(lww) == 1  # single hash-agg exchange, no sort window
+
+    sid = qs["surrogate_id_dense"](spark, sf)
+    assert "SinglePartition" not in explain_str(sid, "simple")
