@@ -156,12 +156,19 @@ def normalize_final(df: DataFrame, max_len: int | None = 32768) -> DataFrame:
     """normalize_turns variant for MERGE winners: rows flagged ``_deleted`` (retained
     tombstones) pass through untouched; live rows get text normalization + role
     default. Payload-only — never touches key/order columns, so it is safe to run
-    post-LWW-resolution (and cheaper: only winners pay the regex)."""
-    is_del = (
-        F.coalesce(F.col("_deleted"), F.lit(False))
-        if "_deleted" in df.columns
-        else F.lit(False)
-    )
+    post-LWW-resolution (and cheaper: only winners pay the regex).
+
+    When the winners frame carries ``_src`` (1 = from this batch, 0 = carried
+    forward from the table), rows already IN the table skip the regex entirely —
+    they were normalized when first merged, and normalization is idempotent, so
+    re-running it is pure waste (at a 30% change rate that's ~70% of the regex
+    work per epoch)."""
+    skip = F.lit(False)
+    if "_deleted" in df.columns:
+        skip = skip | F.coalesce(F.col("_deleted"), F.lit(False))
+    if "_src" in df.columns:
+        skip = skip | (F.col("_src") == 0)
+    is_del = skip
     df = df.withColumn(
         "text",
         F.when(is_del, F.col("text")).otherwise(normalize_text(F.col("text"), max_len)),

@@ -425,13 +425,16 @@ class SnapshotTable:
         # D-winners are retained as hidden tombstone rows (DELETED_COL=true) so
         # later out-of-order events cannot resurrect the key.
         final = winners.withColumn(DELETED_COL, F.col(op_col) == "D").select(
-            *[f.name for f in new_schema], BUCKET_COL
+            *[f.name for f in new_schema], BUCKET_COL, "_src"
         )
         if finalize_payload is not None:
             # payload-only transform applied to WINNERS (e.g. text normalization):
             # running it post-resolution means only surviving rows pay for it, not
-            # every change event. Must not touch key/order/meta columns.
+            # every change event. Must not touch key/order/meta columns. The frame
+            # carries ``_src`` (0 = carried forward, 1 = from this batch) so the
+            # transform can skip rows it already finalized in an earlier epoch.
             final = finalize_payload(final)
+        final = final.drop("_src")
         staged = self._stage_buckets(final, touched)
         stats = obs.get
 
