@@ -642,6 +642,47 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash_buckets(d, "doc_id", "text", n=3, prefix_bits=16)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Duplicate-cluster resolution: near-dup PAIRS (3-gram Jaccard ≥ 0.5) →
+    connected components with the min doc id as canonical (iterative min-label
+    propagation; A~B, B~C collapse to one cluster even if (A,C) was never a
+    pair). The keep-one-per-cluster step every dedup pipeline ends with."""
+    from etl_german_fhir_core_spark.operators.dedup import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    return dedup_clusters(pairs)
+
+
+_STOPWORDS = ["the", "and", "is", "of", "to", "in", "that", "a"]
+
+
+def q_text_stopword_ratio(spark, sf_dir):
+    """Quality signal: stopword ratio = stopword occurrences / word count
+    (natural text sits ~0.2-0.5; gibberish and boilerplate fall outside).
+    Scaled to micro-units for cross-engine float stability."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " ")
+    padded = F.concat(F.lit(" "), norm, F.lit(" "))
+    hits = None
+    for w in _STOPWORDS:
+        cue = f" {w} "
+        # non-overlapping count via length difference; single-space collapse above
+        # means adjacent stopwords still match once each side
+        h = (F.length(padded) - F.length(F.replace(padded, F.lit(cue), F.lit(" ")))) / (
+            len(cue) - 1
+        )
+        hits = h if hits is None else hits + h
+    words = F.size(F.split(norm, " "))
+    ratio = F.when(words > 0, hits / words).otherwise(0.0)
+    return d.select(
+        "doc_id", F.round(ratio * 1e6).cast("long").alias("stopword_ratio_micro")
+    )
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs (the dedup-family vector variant): exact
     all-pairs cosine ≥ 0.4, id1 < id2 (synthetic embeddings are near-orthogonal —
@@ -766,6 +807,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
+        "text_stopword_ratio": q_text_stopword_ratio,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "text_fingerprint": q_text_fingerprint,
         "sim_cosine_topk": q_sim_cosine_topk,
@@ -1117,6 +1160,53 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes s1 ON s1.doc_id = id1
             JOIN sizes s2 ON s2.doc_id = id2
             WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.5
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE norm AS (
+              SELECT doc_id, string_split({_NORM_DOC}, ' ') AS w FROM documents
+            ), grams AS (
+              SELECT DISTINCT doc_id,
+                     w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+              FROM norm, UNNEST(range(1, GREATEST(len(w) - 1, 1))) AS t(i)
+              WHERE len(w) >= 3
+            ), sizes AS (
+              SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+              FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            ), pairs AS (
+              SELECT id1, id2 FROM inter
+              JOIN sizes s1 ON s1.doc_id = id1
+              JOIN sizes s2 ON s2.doc_id = id2
+              WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.5
+            ), edges AS (
+              SELECT id1 AS a, id2 AS b FROM pairs
+              UNION
+              SELECT id2 AS a, id1 AS b FROM pairs
+            ), reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            )
+            SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+            FROM reach GROUP BY a
+        """,
+        "text_stopword_ratio": f"""
+            WITH norm AS (
+              SELECT doc_id,
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n,
+                     ' ' || regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') || ' ' AS p
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(ROUND(
+                     CASE WHEN len(string_split(n, ' ')) > 0 THEN
+                       ({' + '.join(f"(length(p) - length(replace(p, ' {w} ', ' '))) / {len(w) + 1}.0" for w in _STOPWORDS)})
+                       / len(string_split(n, ' '))
+                     ELSE 0 END * 1e6
+                   ) AS BIGINT) AS stopword_ratio_micro
+            FROM norm
         """,
         "dedup_embedding_cosine": """
             SELECT id1, id2, cos_sim FROM (

@@ -281,3 +281,61 @@ def simhash_buckets(
     return out.withColumn(
         "bucket", F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits)
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate CLUSTERS: connected components with
+    the min doc id as the canonical representative — the step a real dedup
+    pipeline needs after pair generation (keep one doc per component, not per
+    pair; A~B and B~C must collapse A,B,C together even though (A,C) was never
+    emitted).
+
+    Algorithm: iterative min-label propagation over the undirected edge list —
+    each round every node adopts the smallest label among itself and its
+    neighbors; converges in O(component diameter) rounds (near-dup components
+    are shallow in practice; ``max_iters`` bounds pathological chains, and the
+    loop exits as soon as a round changes nothing). Each round is one
+    shuffle-join + one aggregate, all JVM-side; the classic large-star/small-star
+    optimization drops in here unchanged if components ever get deep.
+
+    Input: (id1, id2) pairs. Output: (doc_id, cluster_id).
+    """
+    edges = (
+        pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+        .union(pairs.select(F.col("id2").alias("a"), F.col("id1").alias("b")))
+        .distinct()
+    )
+    edges = _materialize_small(edges)  # reused every round
+    labels = _materialize_small(
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges["b"] == labels["doc_id"])
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("_nmin"))
+        )
+        new_labels = _materialize_small(
+            labels.join(neighbor_min, "doc_id", "left").select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("_nmin"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

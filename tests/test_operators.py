@@ -290,3 +290,16 @@ def test_multimodal_resize_stub(spark):
     out2 = {r["doc_id"]: r for r in resize_images(df, 8, 4).collect()}
     assert bytes(out[1]["payload"]) == bytes(out2[1]["payload"])  # deterministic
     assert bytes(out[1]["payload"]) != bytes(out[2]["payload"])
+
+
+def test_dedup_clusters_transitive(spark):
+    """A~B and B~C must land in one cluster even though (A,C) was never a pair;
+    disjoint pairs stay separate; canonical id is the component min."""
+    from etl_german_fhir_core_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (20, 21), (30, 31), (31, 30)],  # chain + 2 islands
+        "id1 long, id2 long",
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 9: 1, 20: 20, 21: 20, 30: 30, 31: 30}
