@@ -39,6 +39,13 @@ LINEAGE_SCHEMA = (
 )
 
 
+class _EagerCount:
+    """Observation-shaped wrapper for a count computed eagerly (streaming path)."""
+
+    def __init__(self, metrics: dict):
+        self.get = metrics
+
+
 @dataclass
 class EpochResult:
     epoch_id: str
@@ -142,6 +149,21 @@ class CdcEngine:
     # Iceberg's rewrite_data_files analog, idempotent under its own ledger entry
     # (<epoch>/compact), so kill-and-resume replays it safely. None = manual.
     compact_every: int | None = None
+    # scheduled tombstone retention (reference analog: deleted rows are physically
+    # gone after delete-then-insert, ConditionMapperServiceImpl.java:35-56): every
+    # k-th epoch, retained tombstones older than (epoch's max event ts −
+    # retention) are physically dropped. The watermark derives from DATA (the
+    # batch's max order-column value), never wall clock, so replays stay
+    # bit-identical; ledger entry <epoch>/expire makes it idempotent. The contract
+    # is the streaming-watermark one: an event older than the watermark arriving
+    # AFTER expiry can resurrect its key (tested at the boundary).
+    expire_every: int | None = None
+    tombstone_retention_sec: float | None = None
+    # streaming (foreachBatch) mode: the valid-row Observation's .get can block
+    # forever in the micro-batch thread (its listener event is not delivered
+    # until the foreachBatch callback returns — observed deadlock), so the count
+    # runs as an explicit tiny job instead. Set by stream_feed_into_table.
+    stream_safe_counts: bool = False
     results: list[EpochResult] = field(default_factory=list)
 
     # ------------------------------------------------------------------ planning
@@ -172,18 +194,52 @@ class CdcEngine:
         t_start = _time.time()
         res = EpochResult(epoch_id=epoch_id, lo_lsn=lo, hi_lsn=hi)
         batch = self.feed().where((F.col("lsn") > lo) & (F.col("lsn") <= hi))
+        self._apply_batch(batch, epoch_id, res)
+        res.elapsed_sec = round(_time.time() - t_start, 2)
+        self.results.append(res)
+        return res
+
+    def apply_stream_batch(self, batch: DataFrame, epoch_id: str) -> EpochResult:
+        """foreachBatch entry point — the streaming counterpart of apply_epoch with
+        FULL engine parity: validity gate + dead letters, retry queue (micro-batch
+        ids are contiguous, so stream-<k> reads queue-stream-<k-1>), LWW MERGE,
+        projections/cascades/rollups, lineage rows, scheduled compaction/expiry.
+        Spark guarantees (batchId, content) stability on checkpoint replay, which
+        is the determinism the idempotent ledger needs (SURVEY §7.3(a)); the
+        reference brackets every load path with the same counters
+        (listeners/FhirToOmopJobListener.java:283-354)."""
+        import time as _time
+
+        t_start = _time.time()
+        res = EpochResult(epoch_id=str(epoch_id), lo_lsn=-1, hi_lsn=-1)
+        self._apply_batch(batch, str(epoch_id), res)
+        res.elapsed_sec = round(_time.time() - t_start, 2)
+        self.results.append(res)
+        return res
+
+    def _apply_batch(self, batch: DataFrame, epoch_id: str, res: EpochResult) -> EpochResult:
         if self.table.has_epoch(epoch_id):
             # Main-table commit exists, but a crash may have landed BETWEEN that
             # commit and the cascade/rollup commits — each derived table's own
             # epoch ledger decides, so re-applying here is a no-op when complete
-            # and repairs the divergence when not (the batch re-derivation from
-            # the LSN range is deterministic).
+            # and repairs the divergence when not. Derived tables consume the SAME
+            # validity-filtered + retry-adjusted frame the main merge applied
+            # (ADVICE r02 medium), re-derived deterministically: the batch comes
+            # from the LSN range, the anchor check reads the PRE-epoch snapshot,
+            # and queue-(k-1) still exists because queue GC runs only after every
+            # derived commit (below). (Adding retry-dependent derived specs
+            # retroactively, after an epoch's queue was GC'd, is unsupported —
+            # that is a config change, not a replay.)
             res.skipped_commit = True
-            self._apply_projections(batch, epoch_id)
-            self._apply_cascades(batch, epoch_id)
-            self._fold_rollups(batch, epoch_id)
+            effective, _obs, _r, _p, _e, cleanup_retry = self._effective_batch(
+                batch, epoch_id, replay=True
+            )
+            self._apply_projections(effective, epoch_id)
+            self._apply_cascades(effective, epoch_id)
+            self._fold_rollups(effective, epoch_id)
+            self._maybe_expire(batch, epoch_id)
             self._maybe_compact(epoch_id)
-            self.results.append(res)
+            cleanup_retry()
             return res
 
         # Per-bucket offset stats: a NARROW scan (lsn + leading key only — Parquet
@@ -191,20 +247,13 @@ class CdcEngine:
         # re-scanning pruned columns is cheaper than materializing the batch
         # (measured: a full-row persist was 6x slower at 32 cores than two scans).
         per_bucket, res.rows_in = self._bucket_stats(batch)
+        if res.hi_lsn < 0 and per_bucket:
+            # streaming path: lineage offsets come from the micro-batch itself
+            res.lo_lsn = min(lo_ for lo_, _hi, _n in per_bucket.values())
+            res.hi_lsn = max(hi_ for _lo, hi_, _n in per_bucket.values())
 
-        valid, _cond = validity_filter(batch, self.table.key_cols())
-        if self.dead_letter_path:
-            # epoch-named dir + deterministic content = idempotent on replay;
-            # written BEFORE the merge so 'epoch committed' ⇒ dead letters exist
-            batch.filter(~_cond).write.mode("overwrite").parquet(
-                os.path.join(self.dead_letter_path, f"epoch={epoch_id}")
-            )
-        # valid-row count rides on the merge's own write action (no extra pass)
-        valid_obs = Observation(f"valid-{epoch_id}")
-        valid = valid.observe(valid_obs, F.count(F.lit(1)).alias("n_valid"))
-
-        valid, retried, parked, expired, cleanup_retry = self._apply_retry_queue(
-            valid, epoch_id
+        valid, valid_obs, retried, parked, expired, cleanup_retry = (
+            self._effective_batch(batch, epoch_id, replay=False)
         )
         res.retried, res.parked, res.expired = retried, parked, expired
 
@@ -221,23 +270,54 @@ class CdcEngine:
         res.rows_applied = mr.rows_upserted
         res.rows_deleted = mr.rows_deleted
         res.conflict_count = mr.conflict_count
-        # the next-epoch queue was already written (epoch-named dir, BEFORE the
-        # manifest commit, so committed-epoch ⇒ queue-exists); after the commit,
-        # queues older than this epoch are dead and can be garbage-collected
-        cleanup_retry()
 
         # derived tables: FK-ordered multi-table fan-out, then cascade deletes,
-        # then rollups (state-mode rollups read the post-merge main table)
-        self._apply_projections(batch, epoch_id)
-        self._apply_cascades(batch, epoch_id)
-        self._fold_rollups(batch, epoch_id)
+        # then rollups (state-mode rollups read the post-merge main table) — ALL
+        # consuming the effective (valid + retry-adjusted) frame, so dead-lettered
+        # and max_retries-expired rows never reach children, and rows retried into
+        # the parent in a later epoch fan out in that same later epoch.
+        self._apply_projections(valid, epoch_id)
+        self._apply_cascades(valid, epoch_id)
+        self._fold_rollups(valid, epoch_id)
+        self._maybe_expire(batch, epoch_id)
         self._maybe_compact(epoch_id)
 
+        # queue GC runs LAST: 'epoch committed but derived commits missing' can
+        # then always re-derive its effective batch from queue-(k-1) on resume
+        cleanup_retry()
+
         if self.lineage_path:
-            self._write_lineage(epoch_id, lo, hi, per_bucket, res)
-        res.elapsed_sec = round(_time.time() - t_start, 2)
-        self.results.append(res)
+            self._write_lineage(epoch_id, res.lo_lsn, res.hi_lsn, per_bucket, res)
         return res
+
+    def _effective_batch(self, batch: DataFrame, epoch_id: str, replay: bool):
+        """THE frame the main merge applies — validity gate, dead-letter split,
+        retry-queue union/park — shared with every derived table (ADVICE r02
+        medium: feeding projections the raw batch silently diverged parent and
+        children under dead_letter_path / require_turn0).
+
+        ``replay=True`` re-derives the frame for an already-committed epoch
+        without side effects that could clobber post-commit state (queue files
+        exist by invariant; dead letters were written before the commit)."""
+        valid, _cond = validity_filter(batch, self.table.key_cols())
+        if self.dead_letter_path and not replay:
+            # epoch-named dir + deterministic content = idempotent on replay;
+            # written BEFORE the merge so 'epoch committed' ⇒ dead letters exist
+            batch.filter(~_cond).write.mode("overwrite").parquet(
+                os.path.join(self.dead_letter_path, f"epoch={epoch_id}")
+            )
+        valid_obs = None
+        if not replay:
+            if self.stream_safe_counts:
+                valid_obs = _EagerCount({"n_valid": valid.count()})
+            else:
+                # valid-row count rides on the merge's own write action (no extra pass)
+                valid_obs = Observation(f"valid-{epoch_id}")
+                valid = valid.observe(valid_obs, F.count(F.lit(1)).alias("n_valid"))
+        valid, retried, parked, expired, cleanup = self._apply_retry_queue(
+            valid, epoch_id, replay=replay
+        )
+        return valid, valid_obs, retried, parked, expired, cleanup
 
     # --------------------------------------------------------------- derived tables
 
@@ -293,16 +373,43 @@ class CdcEngine:
         skips when no bucket holds >1 file or the ledger already has it)."""
         if not self.compact_every:
             return
-        s = str(epoch_id)
-        if s.startswith("e") and s[1:].isdigit() and int(s[1:]) % self.compact_every == 0:
+        idx = self._epoch_index(epoch_id)
+        if idx is not None and idx % self.compact_every == 0:
             self.table.compact(epoch_id=f"{epoch_id}/compact")
 
     def _apply_cascades(self, batch: DataFrame, epoch_id: str) -> None:
-        """Fan a parent delete out to child tables (O9). Commits under the child's
-        own ledger at ``<epoch_id>/cascade`` — exactly-once, replay-safe, and
-        disjoint from any RollupSpec commit the same table might also take."""
+        """Fan a parent delete out to child tables (O9) as RETAINED tombstones
+        carrying the parent delete's order position — so a late child-directed
+        event older than the cascade cannot resurrect the orphaned row (ADVICE
+        r02 medium; the reference's FK constraint would reject it). ``keys``
+        should emit the child scope key plus the delete event's order/lsn columns
+        (e.g. conv_id, ts, lsn). Commits under the child's own ledger at
+        ``<epoch_id>/cascade`` — exactly-once, replay-safe, and disjoint from any
+        RollupSpec commit the same table might also take."""
         for spec in self.cascades:
-            spec.table.delete_keys(spec.keys(batch), epoch_id=f"{epoch_id}/cascade")
+            spec.table.cascade_tombstones(spec.keys(batch), epoch_id=f"{epoch_id}/cascade")
+
+    def _maybe_expire(self, batch: DataFrame, epoch_id: str) -> None:
+        """Scheduled tombstone retention: on every ``expire_every``-th epoch, drop
+        retained tombstones older than (this epoch's max order-column value −
+        ``tombstone_retention_sec``). The watermark is a pure function of the
+        epoch's data (no wall clock), so kill-and-resume replays expire
+        identically; the <epoch>/expire ledger entry makes re-runs no-ops."""
+        if not self.expire_every or self.tombstone_retention_sec is None:
+            return
+        idx = self._epoch_index(epoch_id)
+        if idx is None or idx % self.expire_every != 0:
+            return
+        if self.table.has_epoch(f"{epoch_id}/expire"):
+            return
+        import datetime as dt
+
+        wcol = [c for c in self.table.manifest()["order_cols"] if c != "_lsn"][0]
+        hi_ts = batch.agg(F.max(wcol)).collect()[0][0]
+        if hi_ts is None:
+            return
+        watermark = hi_ts - dt.timedelta(seconds=self.tombstone_retention_sec)
+        self.table.expire_tombstones(watermark, epoch_id=f"{epoch_id}/expire")
 
     def _normalize_final(self, df: DataFrame) -> DataFrame:
         """Vectorized per-turn mapper pipeline over MERGE winners (tombstones pass
@@ -332,18 +439,35 @@ class CdcEngine:
     def _queue_dir(self, epoch_id: str) -> str:
         return os.path.join(self._retry_root(), f"queue-{epoch_id}")
 
+    @staticmethod
+    def _epoch_index(epoch_id: str) -> int | None:
+        """Sequence position of an epoch id — both the batch planner's e000042 and
+        Structured Streaming's stream-42 (micro-batch ids are contiguous) form
+        deterministic contiguous sequences, which is what the retry queue and the
+        every-k-th maintenance cadences key on."""
+        s = str(epoch_id)
+        if s.startswith("e") and s[1:].isdigit():
+            return int(s[1:])
+        if s.startswith("stream-") and s[len("stream-"):].isdigit():
+            return int(s[len("stream-"):])
+        return None
+
+    @staticmethod
+    def _epoch_name(like: str, idx: int) -> str:
+        return f"stream-{idx}" if str(like).startswith("stream-") else f"e{idx:06d}"
+
     def _prev_queue_dir(self, epoch_id: str) -> str | None:
         """Epoch ids form a deterministic contiguous sequence (plan_epochs:
-        e000001, e000002, ...), so epoch k consumes exactly the queue epoch k-1
-        wrote — never 'the newest dir', which could belong to a crashed attempt
-        of the CURRENT epoch."""
-        s = str(epoch_id)
-        if not (s.startswith("e") and s[1:].isdigit()):
+        e000001, e000002, ... — or stream-0, stream-1, ...), so epoch k consumes
+        exactly the queue epoch k-1 wrote — never 'the newest dir', which could
+        belong to a crashed attempt of the CURRENT epoch."""
+        idx = self._epoch_index(epoch_id)
+        first = 0 if str(epoch_id).startswith("stream-") else 1
+        if idx is None or idx <= first:
             return None
-        idx = int(s[1:])
-        return self._queue_dir(f"e{idx - 1:06d}") if idx > 1 else None
+        return self._queue_dir(self._epoch_name(epoch_id, idx - 1))
 
-    def _apply_retry_queue(self, batch: DataFrame, epoch_id: str):
+    def _apply_retry_queue(self, batch: DataFrame, epoch_id: str, replay: bool = False):
         """Late-reference handling (J6 analog — the reference bumps
         last_updated_at +1 day so the record re-enters a later batch,
         ResourceOmopReferenceUtils.java:289-298). An event for turn_idx>0 whose
@@ -355,7 +479,13 @@ class CdcEngine:
         'epoch committed' implies 'its queue exists'; a resumed run re-deriving a
         crashed (uncommitted) epoch overwrites the dir with identical content, and
         the next epoch always reads queue-<k-1> — parked rows can never vanish or
-        be clobbered by a later epoch's write."""
+        be clobbered by a later epoch's write.
+
+        ``replay=True`` (re-deriving a COMMITTED epoch's effective batch for
+        derived tables): the anchor check reads the table's PRE-epoch snapshot —
+        the current snapshot already contains this epoch's merge, and a same-batch
+        turn-0 delete would otherwise flip the anchor decision — and the existing
+        queue-<epoch_id> dir is left untouched (its content is authoritative)."""
         if not self.require_turn0:
             return batch, 0, 0, 0, lambda: None
         from pyspark.sql import types as T
@@ -375,8 +505,11 @@ class CdcEngine:
         else:
             batch = batch.withColumn("_retry_count", F.lit(0))
 
+        snap = None  # current snapshot (pre-merge on the normal path)
+        if replay:
+            snap = self.table.snapshot_before_epoch(epoch_id)
         anchors = (
-            self.table.read()
+            self.table.read(snapshot_id=snap)
             .where(F.col("turn_idx") == 0)
             .select("conv_id")
             .union(batch.where((F.col("turn_idx") == 0) & (F.col("op") != "D")).select("conv_id"))
@@ -388,6 +521,11 @@ class CdcEngine:
         )
         ok = flagged.where(~needs_anchor | F.col("_has_anchor").isNotNull()).drop("_has_anchor")
         missing = flagged.where(needs_anchor & F.col("_has_anchor").isNull()).drop("_has_anchor")
+
+        if replay:
+            # counts are lineage-only (already recorded when the epoch first
+            # committed) and the queue dir exists by invariant — no side effects
+            return ok.select(*feed_cols), 0, 0, 0, lambda: None
 
         # park/expire accounting in ONE agg over the missing frame (ADVICE r01 low:
         # rows dropped after max_retries must be counted, not vanish)
@@ -414,10 +552,17 @@ class CdcEngine:
                 return
             import shutil
 
-            mine = f"queue-{epoch_id}"
+            mine = self._epoch_index(epoch_id)
             for d in os.listdir(root):
-                # zero-padded ids sort lexicographically == numerically
-                if d.startswith("queue-") and d < mine:
+                if not d.startswith("queue-"):
+                    continue
+                # numeric sequence compare (stream-10 vs stream-9 would mis-sort
+                # lexicographically), same-family only
+                other = self._epoch_index(d[len("queue-"):])
+                same_family = d[len("queue-"):].startswith("stream-") == str(
+                    epoch_id
+                ).startswith("stream-")
+                if other is not None and mine is not None and same_family and other < mine:
                     shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
         return ok.select(*feed_cols), retried, n_park, n_expired, cleanup

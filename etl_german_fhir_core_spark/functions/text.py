@@ -193,4 +193,9 @@ def validity_filter(df: DataFrame, key_cols: list[str]) -> tuple[DataFrame, Colu
         cond = cond & F.col(k).isNotNull()
     if "op" in df.columns:
         cond = cond & ((F.col("op") == "D") | F.col("text").isNotNull())
+    # three-valued logic guard: with op NULL and text NULL the raw condition is
+    # NULL, so the row would pass NEITHER filter(cond) NOR filter(~cond) and its
+    # payload would vanish even with a dead-letter queue wired (ADVICE r02 low).
+    # Coalescing to False makes valid/dead-letter an exact partition of the batch.
+    cond = F.coalesce(cond, F.lit(False))
     return df.filter(cond), cond

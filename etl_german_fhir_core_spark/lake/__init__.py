@@ -17,7 +17,17 @@ lakehouse table format with the subset of semantics the CDC north rule needs:
   restartable reader state (FhirServerItemReader.java:160-191).
 """
 
-from etl_german_fhir_core_spark.lake.commit import CommitConflict, PosixCommitter
+from etl_german_fhir_core_spark.lake.commit import (
+    CommitConflict,
+    ConditionalPutCommitter,
+    PosixCommitter,
+)
 from etl_german_fhir_core_spark.lake.table import MergeResult, SnapshotTable
 
-__all__ = ["SnapshotTable", "MergeResult", "CommitConflict", "PosixCommitter"]
+__all__ = [
+    "SnapshotTable",
+    "MergeResult",
+    "CommitConflict",
+    "ConditionalPutCommitter",
+    "PosixCommitter",
+]

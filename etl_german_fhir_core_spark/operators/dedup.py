@@ -313,6 +313,7 @@ def dedup_clusters(
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
     )
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges["b"] == labels["doc_id"])
@@ -337,5 +338,15 @@ def dedup_clusters(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # a chain-shaped component longer than max_iters would otherwise return
+        # silently WRONG cluster ids (ADVICE r02 low) — fail loudly; callers with
+        # genuinely deep components should raise max_iters or switch to the
+        # large-star/small-star contraction (O(log n) rounds).
+        raise RuntimeError(
+            f"dedup_clusters did not converge within max_iters={max_iters} "
+            "(component diameter exceeds the iteration budget; raise max_iters)"
+        )
     return labels

@@ -42,7 +42,7 @@ def dense_surrogate_ids(
     keys = df.select(key_col)
     n = keys.count()
     if n == 0:
-        return keys.withColumn(out_col, F.lit(None).cast("int"))
+        return keys.withColumn(out_col, F.lit(None).cast("long"))
     P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     P = max(1, min(P, n))
 
@@ -73,8 +73,11 @@ def dense_surrogate_ids(
     off_df = spark.createDataFrame(offsets, "_pid int, _off long")
 
     w = Window.partitionBy("_pid").orderBy(key_col)
+    # surrogate ids are LONG: the module's contract is numbering at scale, and an
+    # int cast would silently overflow past 2^31 rows (ADVICE r02 low). Callers
+    # that know N is small can downcast.
     return (
         with_pid.withColumn("_rn", F.row_number().over(w))
         .join(F.broadcast(off_df), "_pid")
-        .select(key_col, (F.col("_off") + F.col("_rn")).cast("int").alias(out_col))
+        .select(key_col, (F.col("_off") + F.col("_rn")).cast("long").alias(out_col))
     )

@@ -38,8 +38,12 @@ TS0 = dt.datetime(2025, 1, 1)
 
 
 def _conv_delete_keys(batch):
-    """Parent-delete fan-out rule: a tombstone for turn 0 deletes the conversation."""
-    return batch.filter((F.col("op") == "D") & (F.col("turn_idx") == 0)).select("conv_id")
+    """Parent-delete fan-out rule: a tombstone for turn 0 deletes the conversation.
+    Carries the delete event's (ts, lsn) so the child tombstones adopt the
+    cascade's order position (late older child events cannot resurrect)."""
+    return batch.filter((F.col("op") == "D") & (F.col("turn_idx") == 0)).select(
+        "conv_id", "ts", "lsn"
+    )
 
 
 def _mk_feed(spark, path):
@@ -119,6 +123,38 @@ def test_cascade_delete_no_orphans_and_resume_identical(spark, tmp_path):
     sid = child_b.current_snapshot_id()
     _run(spark, tmp_path, "b", resume=True)
     assert child_b.current_snapshot_id() == sid
+
+
+def test_cascade_tombstones_suppress_late_resurrection(spark, tmp_path):
+    """ADVICE r02 medium: cascaded child rows must become RETAINED tombstones with
+    the cascade's order position — a child-directed change event for the cascaded
+    key arriving in a later epoch with an OLDER (ts, lsn) must stay suppressed,
+    while a genuinely NEWER event still applies (real LWW semantics)."""
+    _mk_feed(spark, str(tmp_path / "feed"))
+    main_a, child_a = _run(spark, tmp_path, "t")
+
+    # cascaded keys are retained as hidden tombstones, not physically removed
+    meta = child_a.read(include_meta=True)
+    tombs = meta.filter(F.coalesce(F.col("_deleted"), F.lit(False))).select("conv_id")
+    assert {r["conv_id"] for r in tombs.distinct().collect()} == {"cB"}
+
+    # late re-delivery of the ORIGINAL child row (ts older than the cascade's
+    # ts=TS0+100s): LWW suppresses it
+    late_old = spark.createDataFrame(
+        [("I", 50, "cB", 1, "resurrected note", TS0 + dt.timedelta(seconds=5))],
+        "op string, lsn long, conv_id string, turn_idx int, annotation string, ts timestamp",
+    )
+    child_a.merge(late_old, epoch_id="late-old")
+    assert child_a.read().filter(F.col("conv_id") == "cB").count() == 0
+
+    # a genuinely NEWER child event (ts after the cascade) re-creates the row
+    late_new = spark.createDataFrame(
+        [("I", 60, "cB", 1, "legit new note", TS0 + dt.timedelta(seconds=500))],
+        "op string, lsn long, conv_id string, turn_idx int, annotation string, ts timestamp",
+    )
+    child_a.merge(late_new, epoch_id="late-new")
+    got = child_a.read().filter(F.col("conv_id") == "cB").collect()
+    assert len(got) == 1 and got[0]["annotation"] == "legit new note"
 
 
 def test_cascade_applies_on_resume_after_main_commit(spark, tmp_path):

@@ -104,6 +104,78 @@ def _state(tbl):
     )
 
 
+def test_projections_consume_effective_batch(spark, tmp_path):
+    """ADVICE r02 medium: children must see the SAME validity-filtered +
+    retry-adjusted frame the main merge applies — dead-lettered rows never reach
+    a child, and a row parked in epoch k fans out when it retries in epoch k+1."""
+    rows = [
+        (1, "I", "c1", 0, "user", "hello", None, TS0),
+        # turn 3 before its conversation has any turn 0 → parked in epoch 1
+        (2, "I", "c9", 3, "user", "late ref", None, TS0 + dt.timedelta(seconds=2)),
+        # invalid (I with null text) → dead-lettered, must never reach the child
+        (3, "I", "c1", 1, "user", None, None, TS0 + dt.timedelta(seconds=3)),
+        # epoch 2: the anchor arrives → c9/3 retries and applies here
+        (4, "I", "c9", 0, "user", "anchor", None, TS0 + dt.timedelta(seconds=4)),
+        (5, "I", "c1", 2, "user", "more", None, TS0 + dt.timedelta(seconds=5)),
+    ]
+    feed_path = str(tmp_path / "feed")
+    spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3], r[4], r[5], r[6], r[7]) for r in rows],
+        "lsn long, op string, conv_id string, turn_idx int, role string, "
+        "text string, tool string, ts timestamp",
+    ).write.parquet(feed_path)
+
+    def _identity(batch):
+        return batch.select("op", "lsn", "conv_id", "turn_idx", "text", "ts")
+
+    def _engine(tag):
+        main = (
+            SnapshotTable.load(spark, str(tmp_path / f"m_{tag}"))
+            if SnapshotTable.exists(str(tmp_path / f"m_{tag}"))
+            else SnapshotTable.create(
+                spark, str(tmp_path / f"m_{tag}"), TARGET,
+                ["conv_id", "turn_idx"], num_buckets=4,
+            )
+        )
+        child = (
+            SnapshotTable.load(spark, str(tmp_path / f"u_{tag}"))
+            if SnapshotTable.exists(str(tmp_path / f"u_{tag}"))
+            else SnapshotTable.create(
+                spark, str(tmp_path / f"u_{tag}"), USER_TURNS,
+                ["conv_id", "turn_idx"], num_buckets=4,
+            )
+        )
+        return CdcEngine(
+            spark, feed_path, main, epoch_rows=3,
+            dead_letter_path=str(tmp_path / f"dlq_{tag}"),
+            require_turn0=True, max_retries=3,
+            projections=[ProjectionSpec(table=child, transform=_identity)],
+        ), child
+
+    eng, child = _engine("a")
+    eng.run()
+
+    def keys(tbl):
+        return sorted(
+            (r["conv_id"], r["turn_idx"])
+            for r in tbl.read().select("conv_id", "turn_idx").collect()
+        )
+
+    parent_keys = keys(eng.table)
+    assert parent_keys == [("c1", 0), ("c1", 2), ("c9", 0), ("c9", 3)]
+    # child == parent: no dead-lettered row, and the retried row IS present
+    assert keys(child) == parent_keys
+
+    # kill-and-resume: child still converges to the identical state (the resume
+    # path re-derives the effective batch deterministically)
+    eng_b, child_b = _engine("b")
+    eng_b.run(max_epochs=1)
+    eng_b2, child_b2 = _engine("b")
+    eng_b2.run()
+    assert keys(child_b2) == parent_keys
+    pd.testing.assert_frame_equal(_state(child), _state(child_b2))
+
+
 def test_multi_table_fanout_routes_and_resumes(spark, tmp_path):
     _mk_feed(spark, str(tmp_path / "feed"))
 
