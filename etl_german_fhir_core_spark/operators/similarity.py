@@ -1,30 +1,59 @@
-"""Similarity search over an embedding column (array<float>).
+"""Similarity search over an embedding column (array<float/double>).
 
-- ``cosine_topk_bruteforce``: exact top-k neighbors per query vector. Dot products are
-  native ``F.zip_with`` + ``F.aggregate`` (JVM-side, no Python); queries are broadcast
-  so the corpus never shuffles. Baseline / verification path.
-- ``lsh_ann_topk``: random-hyperplane LSH buckets (deterministic, hash-derived planes)
-  → candidates share a bucket → exact rerank within candidates. The 100 TB path:
-  candidate count per query is ~corpus/2^bits, and the join is bucket-equi.
+- ``cosine_topk_bruteforce``: exact top-k neighbors per query vector. The hot
+  kernel is ONE numpy matrix multiply per Arrow batch inside ``mapInPandas``
+  (queries broadcast as a closure matrix, corpus never shuffles); each partition
+  pre-reduces to its local top-k per query, so the final exact window ranks only
+  O(partitions × queries × k) rows. Baseline / verification path.
+- ``lsh_ann_topk``: random-hyperplane LSH buckets (deterministic, hash-derived
+  planes, sign bits via one matmul) → candidates share a bucket → exact rerank.
+- ``ivf_ann_topk``: coarse k-means cells (trained on a deterministic hash-sample,
+  driver-side numpy Lloyd — ONE corpus scan, not iters+1) → nprobe nearest cells
+  per query → exact rerank inside probed cells. The 100 TB path.
+
+Why numpy kernels and not F.aggregate/F.zip_with: Spark higher-order-function
+lambdas evaluate INTERPRETED per array element, outside whole-stage codegen —
+measured 3-6x slower than codegen'd shapes in this repo (CLAUDE.md, dedup.py),
+and a 64-dim dot through them costs ~64 interpreter dispatches per row. An
+Arrow-batched pandas/mapInPandas kernel amortizes to one BLAS matmul per batch
+(north rule: vectorized pandas/Arrow UDFs, no per-row Python).
+
+Reference parity anchor: the RAM-dictionary lookup lesson — keep the hot loop
+native (DbMappings.java:37-72).
 """
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 
-def _norm(col):
-    return F.sqrt(F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x))
+def _stack(vecs: pd.Series) -> np.ndarray:
+    """Series of Arrow list values → (n, dim) float64 matrix."""
+    return np.array([np.asarray(v, dtype=np.float64) for v in vecs], dtype=np.float64)
 
 
-def _dot(a, b):
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+@F.pandas_udf(T.DoubleType())
+def _cos_pd(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Batched cosine similarity of two vector columns (one fused numpy pass)."""
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    A, B = _stack(a), _stack(b)
+    num = np.einsum("ij,ij->i", A, B)
+    den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return pd.Series(np.where(den > 0, num / den, 0.0))
 
 
 def cosine_similarity(a, b):
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Column-level cosine similarity (vectorized pandas_udf kernel)."""
+    return _cos_pd(a, b)
 
 
 def cosine_topk_bruteforce(
@@ -34,21 +63,64 @@ def cosine_topk_bruteforce(
     vec_col: str = "embedding",
     k: int = 10,
 ) -> DataFrame:
-    """Exact top-k cosine neighbors for every query row (query_id, neighbor_id, sim).
-    Cross join with a broadcast query side: corpus stays partition-local; the only
-    shuffle is the final per-query top-k window (tiny: q×k rows after rank filter is
-    applied per partition via AQE)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-    )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
-    scored = c.crossJoin(F.broadcast(q)).where(
-        F.col("query_id") != F.col("neighbor_id")
-    ).select(
-        "query_id",
-        "neighbor_id",
-        cosine_similarity(F.col("_qv"), F.col("_cv")).alias("sim"),
-    )
+    """Exact top-k cosine neighbors for every query row (query_id, neighbor_id,
+    sim, rank).
+
+    Scale shape: the query set is collected to a driver matrix (queries are few
+    by contract — probe vectors, not a second corpus) and closed over by a
+    ``mapInPandas`` kernel, so the corpus is scanned ONCE, partition-local, with
+    one (batch × dim) @ (dim × q) matmul per Arrow batch and a per-partition
+    top-k pre-reduction. Only partitions × q × k candidate rows reach the final
+    exact ranking window — the corpus itself never shuffles."""
+    q_rows = queries.select(
+        F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv")
+    ).collect()
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], T.StructType([
+                T.StructField("query_id", queries.schema[id_col].dataType),
+                T.StructField("neighbor_id", corpus.schema[id_col].dataType),
+                T.StructField("sim", T.DoubleType()),
+                T.StructField("rank", T.IntegerType()),
+            ])
+        )
+    q_ids = [r["_qid"] for r in q_rows]
+    Q = np.array([np.asarray(r["_qv"], dtype=np.float64) for r in q_rows])
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+
+    out_schema = T.StructType([
+        T.StructField("query_id", queries.schema[id_col].dataType),
+        T.StructField("neighbor_id", corpus.schema[id_col].dataType),
+        T.StructField("sim", T.DoubleType()),
+    ])
+
+    def score_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = _stack(pdf[vec_col])
+            Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+            sims = Cn @ Qn.T  # (batch, q)
+            ids = pdf[id_col].to_numpy()
+            frames = []
+            for j, qid in enumerate(q_ids):
+                s = sims[:, j]
+                mask = ids != qid
+                s, nb = s[mask], ids[mask]
+                if len(s) == 0:
+                    continue
+                # local top-k (ties broken by neighbor id, matching the final
+                # window's ORDER BY sim DESC, neighbor_id)
+                order = np.lexsort((nb, -s))[:k]
+                frames.append(pd.DataFrame({
+                    "query_id": [qid] * len(order),
+                    "neighbor_id": nb[order],
+                    "sim": s[order],
+                }))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(score_partition, out_schema)
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -66,34 +138,29 @@ def _hyperplane(dim: int, plane_idx: int, seed: int = 42) -> list[float]:
     return vals
 
 
-def lsh_bucket_col(vec_col, dim: int, bits: int = 8, seed: int = 42):
-    """Random-hyperplane LSH bucket id: bit i = sign(v · plane_i). Pure columnar."""
-    bucket = F.lit(0)
-    for i in range(bits):
-        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, i, seed)])
-        bit = F.when(_dot(vec_col, plane) >= 0, F.lit(1)).otherwise(F.lit(0))
-        bucket = bucket * 2 + bit
-    return bucket
+def _planes_matrix(dim: int, bits: int, seed: int) -> np.ndarray:
+    return np.array(
+        [_hyperplane(dim, i, seed) for i in range(bits)], dtype=np.float64
+    ).T  # (dim, bits)
 
 
-def _sqdist(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, x: acc + x
-    )
+def lsh_bucket_udf(dim: int, bits: int = 8, seed: int = 42):
+    """Random-hyperplane LSH bucket id as a vectorized kernel: bit i =
+    sign(v · plane_i), msb-first. One (batch × dim) @ (dim × bits) matmul per
+    Arrow batch — the interpreted per-plane HOF dot (bits × dim dispatches per
+    row) this replaces was the similarity family's scale-killer."""
+    planes = _planes_matrix(dim, bits, seed)
+    weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.int64)
 
+    @F.pandas_udf(T.LongType())
+    def _bucket(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        V = _stack(v)
+        sign_bits = (V @ planes >= 0).astype(np.int64)
+        return pd.Series(sign_bits @ weights)
 
-def _assign_cells(
-    df: DataFrame, key_cols: list[str], vec_col: str, cents_df: DataFrame, out: str = "_cell"
-) -> DataFrame:
-    """Nearest-centroid assignment via a BROADCAST join (k rows) + min_by — no
-    per-element literal expressions (a 16×64 literal tree made Catalyst/codegen
-    explode; the join form compiles once and stays columnar)."""
-    j = df.crossJoin(F.broadcast(cents_df)).withColumn(
-        "_d", _sqdist(F.col(vec_col), F.col("_cvec"))
-    )
-    return j.groupBy(*key_cols).agg(
-        F.min_by("_cell0", "_d").alias(out), F.first(vec_col).alias(vec_col)
-    )
+    return _bucket
 
 
 def kmeans_centroids(
@@ -103,40 +170,71 @@ def kmeans_centroids(
     iters: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    sample_n: int = 10_000,
 ):
-    """Deterministic mini k-means for IVF coarse quantization: init = the k corpus
-    vectors with smallest xxhash64(id) (hash-picked, seed-free deterministic), then
-    ``iters`` Lloyd steps as DataFrame aggs (assign via broadcast-join argmin;
-    recompute via posexplode + groupBy(cluster, pos) mean). Returns a k-row
-    DataFrame (_cell0 int, _cvec array<double>) — driver-tiny at any corpus scale."""
+    """Deterministic mini k-means for IVF coarse quantization, trained on a
+    HASH-SAMPLE: the ``sample_n`` corpus vectors with smallest xxhash64(id)
+    (seed-free deterministic — same sample every replay), Lloyd iterations in
+    driver-side numpy. ONE corpus pass total (a per-partition top-n under
+    TakeOrdered), vs iters+1 full scans for distributed Lloyd — at 100 TB
+    centroid training is a sampling problem, not a full-corpus one. Returns a
+    k-row DataFrame (_cell0 int, _cvec array<double>), driver-tiny at any scale."""
     spark = corpus.sparkSession
-    sample = (
+    rows = (
         corpus.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
         .orderBy("h")
-        .limit(k)
+        .limit(sample_n)
         .collect()
     )
-    cents = [(i, [float(x) for x in r["v"]]) for i, r in enumerate(sample)]
-
-    def to_df(c):
-        return spark.createDataFrame(c, "_cell0 int, _cvec array<double>")
-
+    X = np.array([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    if len(X) == 0:
+        raise ValueError("kmeans_centroids: empty corpus")
+    k = min(k, len(X))
+    cents = X[:k].copy()  # init: first k in hash order (deterministic)
     for _ in range(iters):
-        assigned = _assign_cells(
-            corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("v")),
-            ["_id"], "v", to_df(cents),
-        )
-        new = (
-            assigned.select("_cell", F.posexplode("v").alias("pos", "x"))
-            .groupBy("_cell", "pos")
-            .agg(F.avg("x").alias("m"))
-            .collect()
-        )
-        by_c: dict[int, list[float]] = {}
-        for r in new:
-            by_c.setdefault(r["_cell"], [0.0] * dim)[r["pos"]] = float(r["m"])
-        cents = [(i, by_c.get(i, v)) for i, v in cents]
-    return to_df(cents)
+        d2 = ((X**2).sum(1, keepdims=True) - 2.0 * (X @ cents.T)
+              + (cents**2).sum(1))
+        assign = np.argmin(d2, axis=1)
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)  # empty cell keeps its centroid
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "_cell0 int, _cvec array<double>",
+    )
+
+
+def _cell_assign_udf(cents: np.ndarray):
+    """Nearest-centroid assignment kernel: one matmul per Arrow batch against the
+    closure centroid matrix (k rows — driver-tiny, shipped in the serialized
+    task). Replaces the k-row crossJoin + interpreted _sqdist HOF."""
+
+    @F.pandas_udf(T.IntegerType())
+    def _assign(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        V = _stack(v)
+        d2 = (V**2).sum(1, keepdims=True) - 2.0 * (V @ cents.T) + (cents**2).sum(1)
+        return pd.Series(np.argmin(d2, axis=1).astype("int32"))
+
+    return _assign
+
+
+def _probe_cells_udf(cents: np.ndarray, nprobe: int):
+    """Per-query probe list: indices of the nprobe nearest centroids (ties broken
+    by cell index — stable lexsort, matching a (distance, cell) ORDER BY)."""
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _probes(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        V = _stack(v)
+        d2 = (V**2).sum(1, keepdims=True) - 2.0 * (V @ cents.T) + (cents**2).sum(1)
+        idx = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.astype("int32").tolist() for row in idx])
+
+    return _probes
 
 
 def ivf_ann_topk(
@@ -148,32 +246,34 @@ def ivf_ann_topk(
     k: int = 10,
     n_centroids: int = 16,
     nprobe: int = 4,
+    sample_n: int = 10_000,
 ) -> DataFrame:
     """IVF approximate top-k: coarse-quantize the corpus into centroid cells, probe
-    each query's ``nprobe`` nearest cells, exact cosine rerank inside them. The 100 TB
-    path: the corpus is scanned once to build cells (and would be stored partitioned
-    by cell); each query touches ~nprobe/n_centroids of the data via a cell-equi join."""
-    cents_df = kmeans_centroids(corpus, dim, k=n_centroids, vec_col=vec_col, id_col=id_col)
-    c = _assign_cells(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
-        ["neighbor_id"], "_cv", cents_df,
+    each query's ``nprobe`` nearest cells, exact cosine rerank inside them. With
+    ``nprobe == n_centroids`` every cell is probed and the result EQUALS the
+    brute-force top-k (the driver-contract oracle configuration). The 100 TB
+    path: centroids train on a hash-sample (one scan), the corpus is scanned once
+    for assignment (and would be stored partitioned by cell); each query touches
+    ~nprobe/n_centroids of the data via a cell-equi join."""
+    cents_df = kmeans_centroids(
+        corpus, dim, k=n_centroids, vec_col=vec_col, id_col=id_col, sample_n=sample_n
     )
-    # per-query probe cells: rank centroid distances, keep nprobe smallest
-    qd = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-        .crossJoin(F.broadcast(cents_df))
-        .withColumn("_d", _sqdist(F.col("_qv"), F.col("_cvec")))
+    cents = np.array(
+        [r["_cvec"] for r in cents_df.orderBy("_cell0").collect()], dtype=np.float64
     )
-    wq = Window.partitionBy("query_id").orderBy(F.col("_d"), F.col("_cell0"))
+    assign = _cell_assign_udf(cents)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    ).withColumn("_cell", assign(F.col("_cv")))
     probes = (
-        qd.withColumn("_pr", F.row_number().over(wq))
-        .filter(F.col("_pr") <= nprobe)
-        .select("query_id", "_qv", F.col("_cell0").alias("_cell"))
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+        .withColumn("_cells", _probe_cells_udf(cents, nprobe)(F.col("_qv")))
+        .select("query_id", "_qv", F.explode("_cells").alias("_cell"))
     )
     scored = c.join(F.broadcast(probes), "_cell").where(
         F.col("query_id") != F.col("neighbor_id")
     ).select(
-        "query_id", "neighbor_id", cosine_similarity(F.col("_qv"), F.col("_cv")).alias("sim")
+        "query_id", "neighbor_id", _cos_pd(F.col("_qv"), F.col("_cv")).alias("sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -191,14 +291,20 @@ def lsh_ann_topk(
 ) -> DataFrame:
     """Approximate top-k: equi-join on LSH bucket, exact cosine rerank within bucket.
     Recall improves with multiple tables (union over seeds) — single-table here;
-    callers union seeds for higher recall."""
-    cb = lsh_bucket_col(F.col(vec_col), dim, bits, seed)
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), cb.alias("_b"))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), cb.alias("_b"))
+    callers union seeds for higher recall. With ``bits=0`` every row shares one
+    bucket and the result equals brute force (oracle configuration)."""
+    bucket = lsh_bucket_udf(dim, bits, seed) if bits > 0 else None
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    if bucket is not None:
+        c = c.withColumn("_b", bucket(F.col("_cv")))
+        q = q.withColumn("_b", bucket(F.col("_qv")))
+    else:
+        c, q = c.withColumn("_b", F.lit(0)), q.withColumn("_b", F.lit(0))
     scored = c.join(F.broadcast(q), "_b").where(
         F.col("query_id") != F.col("neighbor_id")
     ).select(
-        "query_id", "neighbor_id", cosine_similarity(F.col("_qv"), F.col("_cv")).alias("sim")
+        "query_id", "neighbor_id", _cos_pd(F.col("_qv"), F.col("_cv")).alias("sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
