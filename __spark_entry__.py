@@ -780,6 +780,42 @@ def q_sim_ann_ivf(spark, sf_dir):
     )
 
 
+def q_rest_paged_scan(spark, sf_dir):
+    """S6: paged REST (FHIR-Bundle) source — deterministic page grid, executor-
+    parallel fetch via injected transport, JVM-side Bundle parse
+    (FhirServerItemReader.java:29-198 re-expressed; sources/rest.py). The
+    'server' here is backed by the documents table (driver-side by design — it
+    plays the REMOTE SERVER, not part of the Spark plan), so the oracle is a
+    plain SELECT over the same table: a lost page, dropped entry, or mis-parsed
+    field fails the hash."""
+    import json as _json
+
+    from pyspark.sql import types as T2
+
+    from etl_german_fhir_core_spark.sources import rest_paged_scan
+
+    rows = sorted(
+        (int(r["doc_id"]), r["text"])
+        for r in _t(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    )
+
+    def fetch(url: str) -> str:
+        q = dict(p.split("=") for p in url.split("?")[1].split("&"))
+        off, count = int(q["_getpagesoffset"]), int(q["_count"])
+        entries = [
+            {"resource": {"doc_id": i, "text": t}} for i, t in rows[off : off + count]
+        ]
+        return _json.dumps({"total": len(rows), "entry": entries})
+
+    schema = T2.StructType(
+        [T2.StructField("doc_id", T2.LongType()), T2.StructField("text", T2.StringType())]
+    )
+    out = rest_paged_scan(
+        spark, "http://fake/fhir/DocumentReference", fetch, schema, page_size=100
+    )
+    return out.select("doc_id", "text")
+
+
 def q_multimodal_payload_meta(spark, sf_dir):
     """Multimodal plumbing: opaque binary payload column + typed metadata (decode is
     stubbed in etl_german_fhir_core_spark.multimodal; here: byte length accounting)."""
@@ -844,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_ivf": q_sim_ann_ivf,
+        "rest_paged_scan": q_rest_paged_scan,
         "multimodal_payload_meta": q_multimodal_payload_meta,
     }
 
@@ -1263,6 +1300,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_fingerprint": f"""
             SELECT doc_id, md5({_NORM_DOC}) AS fingerprint FROM documents
+        """,
+        "rest_paged_scan": """
+            SELECT doc_id, text FROM documents
         """,
         # dedup_minhash_lsh's VERIFIED output is exact Jaccard on LSH candidates;
         # at the contract band configuration recall is 1.0 on this corpus, so the

@@ -172,6 +172,53 @@ def run_headline() -> dict:
         _materialize(ngram_jaccard_pairs(boiler, "doc_id", "text", n=3, threshold=0.5,
                                          max_df=100))
         probe["maxdf_probe_capped_sec"] = round(time.time() - t0, 3)
+
+        # similarity-kernel probe (VERDICT r02 #3): 8x embedding corpus,
+        # numpy/Arrow mapInPandas kernel vs the interpreted HOF (zip_with +
+        # aggregate) kernel it replaced — same query, same result shape.
+        from pyspark.sql.window import Window as W
+
+        from etl_german_fhir_core_spark.operators.similarity import (
+            cosine_topk_bruteforce,
+        )
+
+        spark.catalog.clearCache()
+        e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        bige = e
+        for i in range(1, 8):
+            bige = bige.unionByName(
+                e.select((F.col("vec_id") + i * 1_000_000).alias("vec_id"), "embedding")
+            )
+        bige.write.mode("overwrite").parquet(f"{probe_dir}/emb")
+        bige = spark.read.parquet(f"{probe_dir}/emb")
+        qv = bige.filter(F.col("vec_id") < 5)
+        probe["sim_probe_vecs"] = bige.count()
+        t0 = time.time()
+        _materialize(cosine_topk_bruteforce(bige, qv, k=10))
+        probe["sim_probe_numpy_kernel_sec"] = round(time.time() - t0, 3)
+
+        # legacy interpreted-HOF kernel (what r02 shipped), inline for comparison
+        def _hof_topk(corpus, queries, k=10):
+            dot = lambda a, b: F.aggregate(
+                F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+            )
+            norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
+            qq = queries.select(F.col("vec_id").alias("query_id"), F.col("_dv").alias("_qv"))
+            cc = corpus.select(F.col("vec_id").alias("neighbor_id"), F.col("_dv").alias("_cv"))
+            scored = cc.crossJoin(F.broadcast(qq)).where(
+                F.col("query_id") != F.col("neighbor_id")
+            ).select(
+                "query_id", "neighbor_id",
+                (dot(F.col("_qv"), F.col("_cv"))
+                 / (norm(F.col("_qv")) * norm(F.col("_cv")))).alias("sim"),
+            )
+            w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+            return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+        biged = bige.withColumn("_dv", F.transform("embedding", lambda x: x.cast("double")))
+        t0 = time.time()
+        _materialize(_hof_topk(biged, biged.filter(F.col("vec_id") < 5), k=10))
+        probe["sim_probe_hof_kernel_sec"] = round(time.time() - t0, 3)
     finally:
         shutil.rmtree(probe_dir, ignore_errors=True)
 

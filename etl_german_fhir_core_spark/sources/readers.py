@@ -3,8 +3,8 @@
 S1 JDBC paging scan  → spark.read.jdbc with partitionColumn bounds
 S3 incremental scan  → parquet_feed with an lsn/ts window (pushed-down predicate)
 S7 CSV seed loads    → csv_seed with explicit schema (no inference in prod)
-S6 FHIR-REST pager   → rest_paged_stub (no HTTP in this environment; the paging/
-                       checkpoint semantics live in Structured Streaming instead)
+S6 FHIR-REST pager   → sources.rest.rest_paged_scan (deterministic page grid +
+                       executor-parallel fetch via an injected transport)
 """
 
 from __future__ import annotations
@@ -74,12 +74,3 @@ def jdbc_paged(
     return reader.load()
 
 
-def rest_paged_stub(*_args, **_kwargs):
-    """FHIR-REST paging reader analog (FhirServerItemReader.java:29-198). No HTTP
-    stack is available in this environment; the restart-state semantics it provided
-    (page checkpoint in ExecutionContext, :160-191) are covered by Structured
-    Streaming's checkpointLocation (streaming.ingest)."""
-    raise NotImplementedError(
-        "REST paging source is stubbed: no network in this environment. "
-        "Use streaming.stream_feed_into_table for checkpointed incremental ingest."
-    )

@@ -1,0 +1,116 @@
+"""S6: paged REST (FHIR-Bundle-style) source — the reference's
+FhirServerItemReader re-expressed Spark-first (FhirServerItemReader.java:29-198).
+
+The reference pages a FHIR server serially: fetch page 1, read ``total``, then
+walk pages with a saved ``pageIndex`` restart state (ExecutionContext,
+:160-191). The Spark-first shape splits that into:
+
+1. ONE driver-side probe request to learn ``total`` (the reference does the same
+   on its first read, :83-120),
+2. a deterministic page grid ``offset = i * page_size`` — the restart state is
+   no longer mutable cursor state but a pure function of (total, page_size), so
+   a re-run re-derives the identical fetch plan and the downstream idempotent
+   epoch merge makes the whole pipeline exactly-once,
+3. parallel page fetches on executors via ``mapInPandas`` (one HTTP call per
+   page, Arrow-batched rows out) — N pages fan out across the cluster instead
+   of a serial cursor walk,
+4. JVM-side ``from_json`` + ``explode`` to parse Bundle entries into columns —
+   Python only moves raw page bodies, never per-record fields.
+
+Transport is INJECTED (``fetch_page: Callable[[str], str]`` returning the
+Bundle JSON body). Production passes a urllib/requests-based callable; this
+sandbox has no network, so tests inject a deterministic in-memory server —
+the paging plan, restart determinism, parallel fetch shape, and Bundle parsing
+are all real and tested either way.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def page_url(base_url: str, offset: int, count: int) -> str:
+    sep = "&" if "?" in base_url else "?"
+    return f"{base_url}{sep}_getpagesoffset={offset}&_count={count}"
+
+
+def rest_page_plan(
+    spark: SparkSession, base_url: str, total: int, page_size: int
+) -> DataFrame:
+    """Deterministic page grid as a DataFrame — (page_idx, url), one row per
+    page. This IS the restart state: same (total, page_size) ⇒ same plan."""
+    n_pages = (total + page_size - 1) // page_size
+    rows = [(i, page_url(base_url, i * page_size, page_size)) for i in range(n_pages)]
+    return spark.createDataFrame(rows or [], "page_idx int, url string")
+
+
+def rest_paged_scan(
+    spark: SparkSession,
+    base_url: str,
+    fetch_page: Callable[[str], str],
+    resource_schema: T.StructType,
+    page_size: int = 50,
+    total: int | None = None,
+    fetch_partitions: int | None = None,
+) -> DataFrame:
+    """Parallel paged scan of a Bundle-serving endpoint. Returns one row per
+    Bundle entry resource, typed by ``resource_schema``.
+
+    ``total=None`` probes page 0 on the driver for Bundle.total (one request);
+    pass it explicitly to skip the probe. ``fetch_partitions`` bounds concurrent
+    requests against the server (the reference's single cursor = 1; default =
+    min(n_pages, defaultParallelism))."""
+    if total is None:
+        probe = json.loads(fetch_page(page_url(base_url, 0, 1)))
+        total = int(probe.get("total", 0))
+    pages = rest_page_plan(spark, base_url, total, page_size)
+    n_pages = max((total + page_size - 1) // page_size, 1)
+    par = fetch_partitions or min(n_pages, spark.sparkContext.defaultParallelism)
+    pages = pages.repartition(max(par, 1), "page_idx")
+
+    body_schema = T.StructType(
+        [
+            T.StructField("page_idx", T.IntegerType()),
+            T.StructField("body", T.StringType()),
+        ]
+    )
+
+    def fetch(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "page_idx": pdf["page_idx"],
+                    # one transport call per PAGE (not per record) — the Python
+                    # side only ferries opaque page bodies
+                    "body": [fetch_page(u) for u in pdf["url"]],
+                }
+            )
+
+    bodies = pages.mapInPandas(fetch, body_schema)
+    bundle_schema = T.StructType(
+        [
+            T.StructField(
+                "entry",
+                T.ArrayType(
+                    T.StructType([T.StructField("resource", resource_schema)])
+                ),
+            )
+        ]
+    )
+    # JVM-side parse: from_json + explode keeps per-record work codegen'd
+    return (
+        bodies.select(
+            "page_idx",
+            F.explode(F.from_json(F.col("body"), bundle_schema)["entry"]).alias("e"),
+        )
+        .select("page_idx", F.col("e.resource.*"))
+    )

@@ -139,3 +139,20 @@ def test_round2_query_plan_shapes(spark):
 
     sid = qs["surrogate_id_dense"](spark, sf)
     assert "SinglePartition" not in explain_str(sid, "simple")
+
+
+def test_similarity_kernels_are_arrow_vectorized(spark):
+    """The similarity family's hot kernels must run as Arrow-batched pandas/
+    mapInPandas nodes (ArrowEvalPython / MapInPandas), NEVER row-at-a-time
+    Python (BatchEvalPython) and never interpreted per-element HOF lambdas
+    (aggregate/zip_with in the plan) — the r02 scale-killer this locks out."""
+    import __spark_entry__ as E
+    from etl_german_fhir_core_spark.plans import explain_str
+
+    sf = "/root/testdata/sf0.001"
+    qs = E.queries()
+    for name in ("sim_cosine_topk", "sim_ann_lsh", "sim_ann_ivf"):
+        plan = explain_str(qs[name](spark, sf), "simple")
+        assert "BatchEvalPython" not in plan, name  # no per-row Python
+        assert "ArrowEvalPython" in plan or "MapInPandas" in plan, name
+        assert "aggregate(" not in plan and "zip_with(" not in plan, name
