@@ -178,6 +178,57 @@ def test_stream_engine_parity_lineage_dlq_rollups(spark, tmp_path):
     )
 
 
+def test_stream_retry_queue_across_microbatches(spark, tmp_path):
+    """Streaming retry parity: micro-batch ids are contiguous, so a turn_idx>0
+    event whose conversation has no turn 0 yet parks in queue-stream-<k> and
+    applies when a later micro-batch delivers the anchor."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    TS0 = dt.datetime(2025, 1, 1)
+    feed_path = str(tmp_path / "feed_retry")
+    os.makedirs(feed_path)
+
+    def _rows(rows, name):
+        spark.createDataFrame(
+            rows,
+            "lsn long, op string, conv_id string, turn_idx int, role string, "
+            "text string, tool string, ts timestamp",
+        ).coalesce(1).write.mode("append").parquet(feed_path)
+
+    # file 1: cX turn 2 arrives before any cX turn 0 exists anywhere
+    _rows([(1, "I", "c0", 0, "user", "anchor c0", None, TS0),
+           (2, "I", "cX", 2, "user", "early turn", None, TS0 + dt.timedelta(seconds=2))],
+          "f1")
+    # file 2: the anchor for cX arrives
+    _rows([(3, "I", "cX", 0, "user", "anchor cX", None, TS0 + dt.timedelta(seconds=3)),
+           (4, "I", "c0", 1, "user", "more c0", None, TS0 + dt.timedelta(seconds=4))],
+          "f2")
+
+    tbl = SnapshotTable.create(
+        spark, str(tmp_path / "tbl_retry"), SCHEMA, ["conv_id", "turn_idx"],
+        num_buckets=4,
+    )
+    q = stream_feed_into_table(
+        spark, feed_path, tbl, str(tmp_path / "ckpt_retry"),
+        max_files_per_trigger=1, require_turn0=True,
+        retry_path=str(tmp_path / "retry_q"),
+    )
+    q.awaitTermination()
+    eng = q._cdc_engine
+    assert len(eng.results) >= 2
+    keys = sorted(
+        (r["conv_id"], r["turn_idx"])
+        for r in tbl.read().select("conv_id", "turn_idx").collect()
+    )
+    # the parked cX/2 row applied once its anchor arrived in a later micro-batch
+    assert ("cX", 2) in keys and ("cX", 0) in keys
+    assert sum(r.retried for r in eng.results) >= 1
+    assert sum(r.parked for r in eng.results) >= 1
+
+
 def test_streaming_session_eras_matches_batch_collapse(spark, tmp_path):
     """Watermarked session-window eras over a stream equal the batch
     gaps-and-islands collapse on the same events (era extents + event counts;
