@@ -662,6 +662,22 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(pairs)
 
 
+def q_dedup_clusters_star(spark, sf_dir):
+    """Duplicate-cluster resolution via alternating large-star/small-star
+    contraction — O(log n) rounds vs min-label propagation's O(diameter), the
+    scale path for deep/chain-shaped near-dup components (operators/dedup.py
+    dedup_clusters_star). Same pair input and same recursive-CTE oracle as
+    dedup_clusters — both must resolve identical components."""
+    from etl_german_fhir_core_spark.operators.dedup import (
+        dedup_clusters_star,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    return dedup_clusters_star(pairs)
+
+
 _STOPWORDS = ["the", "and", "is", "of", "to", "in", "that", "a"]
 
 
@@ -876,6 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_star": q_dedup_clusters_star,
         "text_stopword_ratio": q_text_stopword_ratio,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "text_fingerprint": q_text_fingerprint,
@@ -903,7 +920,7 @@ def oracle_sql() -> dict[str, str]:
         + " ELSE 'und' END"
     )
 
-    return {
+    oracles = {
         "cdc_lww_final_state": _FEED_CTE
         + """
             SELECT conv_id, turn_idx, role, text, ts FROM (
@@ -1362,6 +1379,10 @@ def oracle_sql() -> dict[str, str]:
         # expressible in DuckDB → rows-only check by design (irreducible), with a
         # pytest agreement test on identical-doc signatures.
     }
+    # star-contraction clusters resolve the same components as label propagation —
+    # one recursive-CTE oracle serves both
+    oracles["dedup_clusters_star"] = oracles["dedup_clusters"]
+    return oracles
 
 
 if __name__ == "__main__":

@@ -252,7 +252,7 @@ class CdcEngine:
             res.lo_lsn = min(lo_ for lo_, _hi, _n in per_bucket.values())
             res.hi_lsn = max(hi_ for _lo, hi_, _n in per_bucket.values())
 
-        valid, valid_obs, retried, parked, expired, cleanup_retry = (
+        valid, n_valid, retried, parked, expired, cleanup_retry = (
             self._effective_batch(batch, epoch_id, replay=False)
         )
         res.retried, res.parked, res.expired = retried, parked, expired
@@ -266,7 +266,7 @@ class CdcEngine:
             finalize_payload=self._normalize_final if self.normalize else None,
         )
         # expired retries are dropped rows too — lineage must account for them
-        res.rows_skipped = res.rows_in - int(valid_obs.get["n_valid"] or 0) + expired
+        res.rows_skipped = res.rows_in - n_valid() + expired
         res.rows_applied = mr.rows_upserted
         res.rows_deleted = mr.rows_deleted
         res.conflict_count = mr.conflict_count
@@ -307,6 +307,7 @@ class CdcEngine:
                 os.path.join(self.dead_letter_path, f"epoch={epoch_id}")
             )
         valid_obs = None
+        pre_retry = valid
         if not replay:
             if self.stream_safe_counts:
                 valid_obs = _EagerCount({"n_valid": valid.count()})
@@ -317,7 +318,20 @@ class CdcEngine:
         valid, retried, parked, expired, cleanup = self._apply_retry_queue(
             valid, epoch_id, replay=replay
         )
-        return valid, valid_obs, retried, parked, expired, cleanup
+
+        def n_valid() -> int:
+            # the retry queue's own aggregations also execute the observed
+            # subtree; on some plan shapes (e.g. an empty parked set) the JVM
+            # Observation then fails to materialize its metrics row — fall back
+            # to an explicit recount of the pre-retry gate (rare, lineage-only)
+            if valid_obs is not None:
+                try:
+                    return int(valid_obs.get["n_valid"] or 0)
+                except Exception:
+                    pass
+            return pre_retry.count()
+
+        return valid, n_valid, retried, parked, expired, cleanup
 
     # --------------------------------------------------------------- derived tables
 

@@ -283,6 +283,87 @@ def simhash_buckets(
     )
 
 
+def dedup_clusters_star(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR contraction —
+    the O(log n)-round algorithm (public MapReduce formulation: Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"), the scale path where
+    ``dedup_clusters``'s min-label propagation (O(diameter) rounds) would need
+    one round per hop on chain-shaped components.
+
+    large-star: every node u connects its LARGER neighbors to m = min(Γ(u)∪{u});
+    small-star: every node u connects its smaller-or-equal neighborhood to its
+    minimum. The edge set contracts to stars centered at each component's
+    minimum id; each round is a handful of hash joins/aggregations on the pair
+    graph (near-linear in duplicate count, never corpus-sized).
+
+    Input: (id1, id2) pairs. Output: (doc_id, cluster_id) for every paired doc.
+    """
+    nodes = _materialize_small(
+        pairs.select(F.col("id1").alias("doc_id"))
+        .union(pairs.select(F.col("id2").alias("doc_id")))
+        .distinct()
+    )
+    e = _materialize_small(
+        pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+    def _large_star(edges: DataFrame) -> DataFrame:
+        nbr = edges.union(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        m = nbr.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
+        return (
+            nbr.join(m, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def _small_star(edges: DataFrame) -> DataFrame:
+        d = edges.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        ).where(F.col("a") != F.col("b")).distinct()
+        m = d.groupBy("a").agg(F.min("b").alias("m"))
+        joined = d.join(m, "a")
+        out = joined.select(F.col("b").alias("a"), F.col("m").alias("b")).union(
+            m.select(F.col("a"), F.col("m").alias("b"))
+        )
+        return out.where(F.col("a") != F.col("b")).distinct()
+
+    converged = False
+    for _ in range(max_iters):
+        # localCheckpoint (eager) truncates the logical plan each round —
+        # without it Catalyst re-analyzes a plan that doubles per iteration and
+        # analysis time explodes long before execution does (measured: a
+        # 40-node chain went from minutes to seconds)
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        changed = (
+            e2.subtract(e).limit(1).count() + e.subtract(e2).limit(1).count()
+        )
+        e.unpersist()
+        e = e2
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters_star did not converge within max_iters={max_iters}"
+        )
+    # converged stars: every non-minimum node carries an edge to its component
+    # minimum; minima label themselves
+    star = e.select(
+        F.greatest("a", "b").alias("doc_id"), F.least("a", "b").alias("cluster_id")
+    ).groupBy("doc_id").agg(F.min("cluster_id").alias("cluster_id"))
+    out = nodes.join(star, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id")
+    )
+    nodes.unpersist()
+    return out
+
+
 def dedup_clusters(
     pairs: DataFrame, max_iters: int = 20
 ) -> DataFrame:

@@ -346,3 +346,25 @@ def test_dedup_clusters_transitive(spark):
     )
     out = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 9: 1, 20: 20, 21: 20, 30: 30, 31: 30}
+
+
+def test_dedup_clusters_star_deep_chain_and_label_guard(spark):
+    """Large-star/small-star resolves a chain DEEPER than the label-propagation
+    iteration budget (O(log n) rounds), while dedup_clusters fails LOUDLY on the
+    same input instead of returning silently unconverged ids (ADVICE r02 low)."""
+    import pytest
+
+    from etl_german_fhir_core_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_clusters_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(25)] + [(100, 101)], "id1 long, id2 long"
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters_star(chain).collect()}
+    assert all(out[i] == 0 for i in range(26))
+    assert out[100] == out[101] == 100
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(chain, max_iters=5).collect()

@@ -176,6 +176,61 @@ def test_projections_consume_effective_batch(spark, tmp_path):
     pd.testing.assert_frame_equal(_state(child), _state(child_b2))
 
 
+def test_resume_anchor_check_uses_pre_epoch_snapshot(spark, tmp_path):
+    """Edge: an epoch both DELETES a conversation's turn 0 and UPDATES one of its
+    later turns. At original-run time the anchor (turn 0) was in the table, so
+    the update applied; on the skipped-commit resume path the CURRENT snapshot
+    no longer shows the anchor (the same epoch tombstoned it), so re-deriving
+    the effective batch must read the PRE-epoch snapshot — otherwise the child
+    projection silently loses the update."""
+    rows = [
+        (1, "I", "c1", 0, "user", "anchor c1", None, TS0),
+        (2, "I", "c2", 0, "user", "anchor c2", None, TS0 + dt.timedelta(seconds=1)),
+        # epoch 2: delete c1's anchor AND update c1 turn 5 in the same epoch
+        (3, "D", "c1", 0, None, None, None, TS0 + dt.timedelta(seconds=2)),
+        (4, "I", "c1", 5, "user", "late turn five", None, TS0 + dt.timedelta(seconds=3)),
+    ]
+    feed_path = str(tmp_path / "feed_anchor")
+    spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3], r[4], r[5], r[6], r[7]) for r in rows],
+        "lsn long, op string, conv_id string, turn_idx int, role string, "
+        "text string, tool string, ts timestamp",
+    ).write.parquet(feed_path)
+
+    main = SnapshotTable.create(
+        spark, str(tmp_path / "m_anchor"), TARGET, ["conv_id", "turn_idx"], num_buckets=4
+    )
+    # original run: main commits both epochs, NO projection wired (the crash
+    # window between main commit and child commit)
+    CdcEngine(spark, feed_path, main, epoch_rows=2, require_turn0=True).run()
+    keys_main = {
+        (r["conv_id"], r["turn_idx"])
+        for r in main.read().select("conv_id", "turn_idx").collect()
+    }
+    assert ("c1", 5) in keys_main  # anchored at original time → applied
+
+    # resume with the projection wired: replays must re-anchor against the
+    # PRE-epoch snapshot (turn 0 still visible there) and fan c1/5 out
+    child = SnapshotTable.create(
+        spark, str(tmp_path / "u_anchor"), USER_TURNS, ["conv_id", "turn_idx"],
+        num_buckets=4,
+    )
+    eng = CdcEngine(
+        spark, feed_path, main, epoch_rows=2, require_turn0=True,
+        projections=[ProjectionSpec(
+            table=child,
+            transform=lambda b: b.select("op", "lsn", "conv_id", "turn_idx", "text", "ts"),
+        )],
+    )
+    res = eng.run()
+    assert all(r.skipped_commit for r in res)
+    keys_child = {
+        (r["conv_id"], r["turn_idx"])
+        for r in child.read().select("conv_id", "turn_idx").collect()
+    }
+    assert ("c1", 5) in keys_child
+
+
 def test_multi_table_fanout_routes_and_resumes(spark, tmp_path):
     _mk_feed(spark, str(tmp_path / "feed"))
 
