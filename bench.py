@@ -199,9 +199,22 @@ def run_headline() -> dict:
         # AND shuffles corpus x 100 scored rows through the ranking window.
         qv = bige.filter(F.col("vec_id") < 100)
         probe["sim_probe_vecs"] = bige.count()
-        t0 = time.time()
-        _materialize(cosine_topk_bruteforce(bige, qv, k=10))
-        probe["sim_probe_numpy_kernel_sec"] = round(time.time() - t0, 3)
+
+        def _timed(fn, reps: int = 2) -> float:
+            # min-of-reps: rep 1 pays Python-worker/JIT spin-up, which at this
+            # corpus size rivals the kernel itself — same noise defense as the
+            # CDC replay probe
+            best = None
+            for _ in range(reps):
+                t0 = time.time()
+                _materialize(fn())
+                dt_ = time.time() - t0
+                best = dt_ if best is None else min(best, dt_)
+            return round(best, 3)
+
+        probe["sim_probe_numpy_kernel_sec"] = _timed(
+            lambda: cosine_topk_bruteforce(bige, qv, k=10)
+        )
 
         # legacy interpreted-HOF kernel (what r02 shipped), inline for comparison
         def _hof_topk(corpus, queries, k=10):
@@ -222,9 +235,9 @@ def run_headline() -> dict:
             return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
         biged = bige.withColumn("_dv", F.transform("embedding", lambda x: x.cast("double")))
-        t0 = time.time()
-        _materialize(_hof_topk(biged, biged.filter(F.col("vec_id") < 100), k=10))
-        probe["sim_probe_hof_kernel_sec"] = round(time.time() - t0, 3)
+        probe["sim_probe_hof_kernel_sec"] = _timed(
+            lambda: _hof_topk(biged, biged.filter(F.col("vec_id") < 100), k=10)
+        )
     finally:
         shutil.rmtree(probe_dir, ignore_errors=True)
 
