@@ -69,6 +69,19 @@ def run_headline() -> dict:
 
     spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     qs = entry_mod.queries()
+
+    # Python-worker warmup: the first Arrow-vectorized query otherwise pays the
+    # one-time worker fork (~1-5 s at 32 cores) inside ITS timing while every
+    # JVM-only query before it rides free — steady-state is what the headline
+    # measures (a long-running ingest amortizes worker startup to zero).
+    from pyspark.sql import functions as F
+
+    from etl_german_fhir_core_spark.functions.vectorized import token_count_pd
+
+    spark.range(CPUS * 4).repartition(CPUS).select(
+        token_count_pd(F.lit("warm up the arrow workers"))
+    ).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
