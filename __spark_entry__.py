@@ -725,6 +725,22 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     )
 
 
+def q_dedup_embedding_ann(spark, sf_dir):
+    """Embedding near-dup pairs via IVF candidate generation + exact cosine
+    verify (operators/similarity.embedding_ann_pairs) — the scale path for
+    dedup_embedding_cosine's all-pairs baseline. At the contract configuration
+    multi-probe assignment surfaces every ≥0.4 pair on the corpus (verified
+    empirically — centroids are hash-deterministic), so the all-pairs SQL is its
+    oracle; at scale nprobe trades recall for candidate volume."""
+    from etl_german_fhir_core_spark.operators.similarity import embedding_ann_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    out = embedding_ann_pairs(emb, dim=64, threshold=0.4, n_centroids=16, nprobe=6)
+    return out.select("id1", "id2", F.round(F.col("cos_sim"), 6).alias("cos_sim"))
+
+
 def q_text_fingerprint(spark, sf_dir):
     """Document fingerprinting: deterministic 128-bit content hash of the
     normalized text. md5 here because DuckDB computes the identical digest (the
@@ -893,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_star": q_dedup_clusters_star,
+        "dedup_embedding_ann": q_dedup_embedding_ann,
         "text_stopword_ratio": q_text_stopword_ratio,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "text_fingerprint": q_text_fingerprint,
@@ -1382,6 +1399,9 @@ def oracle_sql() -> dict[str, str]:
     # star-contraction clusters resolve the same components as label propagation —
     # one recursive-CTE oracle serves both
     oracles["dedup_clusters_star"] = oracles["dedup_clusters"]
+    # IVF-candidate + exact-verify pairs equal the all-pairs baseline at the
+    # contract nprobe — one all-pairs cosine oracle serves both
+    oracles["dedup_embedding_ann"] = oracles["dedup_embedding_cosine"]
     return oracles
 
 

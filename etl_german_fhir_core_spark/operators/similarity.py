@@ -279,6 +279,52 @@ def ivf_ann_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def embedding_ann_pairs(
+    corpus: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    sample_n: int = 10_000,
+) -> DataFrame:
+    """Embedding near-dup PAIRS via IVF candidate generation + exact cosine
+    verify — the scale path the all-pairs baseline (dedup_embedding_cosine)
+    documents: each vector is multi-assigned to its ``nprobe`` nearest k-means
+    cells, candidates are pairs sharing ANY probed cell (a cell-equi self-join —
+    near-linear in corpus when cells are balanced), and only candidates pay the
+    exact cosine. Same shape as minhash→candidate→Jaccard-verify in the text
+    family. ``nprobe`` is the recall knob: multi-probing catches pairs that
+    straddle a cell boundary; ``nprobe == n_centroids`` degenerates to exact
+    all-pairs. Output: (id1, id2, cos_sim) with cos_sim ≥ threshold."""
+    cents_df = kmeans_centroids(
+        corpus, dim, k=n_centroids, vec_col=vec_col, id_col=id_col, sample_n=sample_n
+    )
+    cents = np.array(
+        [r["_cvec"] for r in cents_df.orderBy("_cell0").collect()], dtype=np.float64
+    )
+    cells = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .withColumn("_cells", _probe_cells_udf(cents, nprobe)(F.col("_v")))
+        .select("_id", F.explode("_cells").alias("_cell"))
+    )
+    x, y = cells.alias("x"), cells.alias("y")
+    cand = (
+        x.join(y, (F.col("x._cell") == F.col("y._cell")) & (F.col("x._id") < F.col("y._id")))
+        .select(F.col("x._id").alias("id1"), F.col("y._id").alias("id2"))
+        .distinct()
+    )
+    e1 = corpus.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("_v1"))
+    e2 = corpus.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("_v2"))
+    return (
+        cand.join(e1, "id1")
+        .join(e2, "id2")
+        .select("id1", "id2", _cos_pd(F.col("_v1"), F.col("_v2")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

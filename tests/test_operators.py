@@ -172,6 +172,49 @@ def test_ivf_ann_recall(spark):
     assert 1 <= len(part) <= 3
 
 
+def test_embedding_ann_pairs_subset_and_full_probe_equality(spark):
+    """IVF-candidate dedup pairs: with nprobe == n_centroids the result EQUALS
+    all-pairs cosine ≥ threshold; with fewer probes it is a subset (recall
+    knob), never a superset — the verify step guarantees precision 1.0."""
+    import math
+
+    from etl_german_fhir_core_spark.operators.similarity import (
+        cosine_similarity,
+        embedding_ann_pairs,
+    )
+
+    vecs = []
+    for i in range(60):
+        angle = (i % 20) * math.pi / 40 + (i // 20) * 2.0
+        vecs.append((i, [math.cos(angle), math.sin(angle), float(i // 20), 0.0]))
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+
+    a = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("v1"))
+    b = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("v2"))
+    exact = {
+        (r["id1"], r["id2"])
+        for r in a.join(b, F.col("id1") < F.col("id2"))
+        .select("id1", "id2", cosine_similarity(F.col("v1"), F.col("v2")).alias("s"))
+        .filter(F.col("s") >= 0.95)
+        .collect()
+    }
+    full = {
+        (r["id1"], r["id2"])
+        for r in embedding_ann_pairs(
+            emb, dim=4, threshold=0.95, n_centroids=6, nprobe=6
+        ).collect()
+    }
+    assert full == exact and len(exact) > 0
+
+    partial = {
+        (r["id1"], r["id2"])
+        for r in embedding_ann_pairs(
+            emb, dim=4, threshold=0.95, n_centroids=6, nprobe=1
+        ).collect()
+    }
+    assert partial <= exact
+
+
 def test_multimodal_plumbing(spark):
     from etl_german_fhir_core_spark.multimodal import attach_payload_meta, extract_features
 
