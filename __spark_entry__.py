@@ -647,6 +647,22 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash_buckets(d, "doc_id", "text", n=3, prefix_bits=16)
 
 
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """End-to-end SimHash near-dup pipeline: pigeonhole block-table candidates
+    (GUARANTEED recall within Hamming radius max_hamming: d+1 blocks, any
+    ≤d-distance pair agrees on a whole block) + candidate-only exact Jaccard
+    verify (operators/dedup.simhash_pairs). The contract corpus's j≥0.5 pairs
+    all sit within Hamming 12 of each other, so the exact-Jaccard pair SQL is
+    its oracle — closing the loop on the one family (raw signatures) that is
+    inherently rows-only."""
+    from etl_german_fhir_core_spark.operators.dedup import simhash_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    out = simhash_pairs(d, "doc_id", "text", n=3, max_hamming=12,
+                        verify_threshold=0.5)
+    return out.select("id1", "id2", F.round(F.col("jaccard"), 6).alias("jaccard"))
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Duplicate-cluster resolution: near-dup PAIRS (3-gram Jaccard ≥ 0.5) →
     connected components with the min doc id as canonical (iterative min-label
@@ -907,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_star": q_dedup_clusters_star,
         "dedup_embedding_ann": q_dedup_embedding_ann,
@@ -1402,6 +1419,9 @@ def oracle_sql() -> dict[str, str]:
     # IVF-candidate + exact-verify pairs equal the all-pairs baseline at the
     # contract nprobe — one all-pairs cosine oracle serves both
     oracles["dedup_embedding_ann"] = oracles["dedup_embedding_cosine"]
+    # simhash candidates + exact-Jaccard verify equal the exact pair query at
+    # the contract rotation config — the minhash oracle serves it too
+    oracles["dedup_simhash_pairs"] = oracles["dedup_minhash_lsh"]
     return oracles
 
 

@@ -283,6 +283,55 @@ def simhash_buckets(
     )
 
 
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_hamming: int = 10,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via SimHash candidate buckets + exact Jaccard verify — the
+    end-to-end simhash pipeline (simhash_buckets emits the raw signatures).
+
+    Candidates come from the pigeonhole block scheme (Manku et al.'s simhash
+    table construction): the 64-bit signature is split into ``max_hamming + 1``
+    blocks, and any pair within Hamming distance ``max_hamming`` must agree on
+    at least one whole block — GUARANTEED recall at that radius, with one
+    (block_id, block_bits) equi self-join per block. Verification is
+    candidate-only exact n-gram Jaccard (same _pair_jaccard as minhash), so
+    precision is exact; ``max_hamming`` is the recall/candidate-volume knob
+    (bigger radius ⇒ smaller blocks ⇒ fuller buckets). Scale shape: blocks ×
+    one 16-bytes/doc bucket join, candidates near-linear in true duplicates.
+    """
+    n_blocks = max_hamming + 1
+    sigs = _materialize_small(
+        simhash_buckets(df, id_col, text_col, n).select("doc", "simhash")
+    )
+    # block b covers bits [offset_b, offset_b + width_b): widths differ by ≤1
+    base, extra = divmod(64, n_blocks)
+    cand = None
+    offset = 0
+    for i in range(n_blocks):
+        width = base + (1 if i < extra else 0)
+        mask = (1 << width) - 1
+        bits = F.shiftrightunsigned(F.col("simhash"), offset).bitwiseAND(F.lit(mask))
+        b = sigs.select("doc", bits.alias("_b"))
+        x, y = b.alias("x"), b.alias("y")
+        p = x.join(
+            y, (F.col("x._b") == F.col("y._b")) & (F.col("x.doc") < F.col("y.doc"))
+        ).select(F.col("x.doc").alias("id1"), F.col("y.doc").alias("id2"))
+        cand = p if cand is None else cand.unionByName(p)
+        offset += width
+    cand = _materialize_small(cand.distinct())
+    verified = _pair_jaccard(df, id_col, text_col, n, cand)
+    out = verified.filter(F.col("jaccard") >= verify_threshold).select(
+        "id1", "id2", "jaccard"
+    )
+    sigs.unpersist()
+    return out
+
+
 def dedup_clusters_star(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     """Connected components via alternating LARGE-STAR / SMALL-STAR contraction —
     the O(log n)-round algorithm (public MapReduce formulation: Kiveris et al.,

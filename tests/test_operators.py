@@ -128,6 +128,26 @@ def test_simhash_identical_docs_same_signature(spark):
     assert out[0] != out[3]
 
 
+def test_simhash_pairs_verified_match_exact(spark):
+    """Pigeonhole block candidates + exact verify must reproduce the exact
+    Jaccard pair set when every true pair sits within the Hamming radius."""
+    from etl_german_fhir_core_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+
+    d = _docs(spark)
+    exact = {
+        (r["id1"], r["id2"], round(r["jaccard"], 6))
+        for r in ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    sh = {
+        (r["id1"], r["id2"], round(r["jaccard"], 6))
+        for r in simhash_pairs(d, "doc_id", "text", n=3, max_hamming=12).collect()
+    }
+    assert sh == exact and len(exact) >= 1
+
+
 def test_cosine_topk_and_lsh_ann(spark):
     import math
 
