@@ -421,6 +421,8 @@ class CdcEngine:
         wcol = [c for c in self.table.manifest()["order_cols"] if c != "_lsn"][0]
         hi_ts = batch.agg(F.max(wcol)).collect()[0][0]
         if hi_ts is None:
+            # replay-stable skip: the batch (hence its max ts) is a pure function
+            # of the epoch's LSN range, so a resume reaches the same decision
             return
         watermark = hi_ts - dt.timedelta(seconds=self.tombstone_retention_sec)
         self.table.expire_tombstones(watermark, epoch_id=f"{epoch_id}/expire")

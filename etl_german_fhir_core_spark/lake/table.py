@@ -34,6 +34,7 @@ import shutil
 import uuid
 from dataclasses import dataclass, field
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -284,8 +285,27 @@ class SnapshotTable:
         stage_abs = self._abs(stage_rel)
         try:
             files = self.spark.read.parquet(stage_abs).inputFiles()
-        except Exception:
-            return {}  # empty stage: no data files were written
+        except AnalysisException as e:
+            # ONLY the two "stage is genuinely empty" conditions may map to {}:
+            # a transient FS/parquet failure after a successful stage write must
+            # re-raise, or the manifest would commit empty file lists for the
+            # touched buckets — silent data loss under a committed snapshot
+            # (ADVICE r03 medium).
+            cond = ""
+            for attr in ("getCondition", "getErrorClass"):
+                fn = getattr(e, attr, None)
+                if fn is not None:
+                    try:
+                        cond = fn() or ""
+                        break
+                    except Exception:
+                        pass
+            if cond in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA") or (
+                not cond
+                and ("PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e))
+            ):
+                return {}  # empty stage: no data files were written
+            raise
         out: dict[str, list[str]] = {}
         prefix = f"{BUCKET_COL}="
         for uri in sorted(files):
@@ -659,12 +679,23 @@ class SnapshotTable:
                 f"keys must include the leading key column {key_cols[0]!r} "
                 f"(got {keys.columns}) — bucket pruning is impossible otherwise"
             )
-        # order/lsn columns riding on the keys frame = the cascade's order position
-        carry = [c for c in keys.columns if c in order_cols or c == "lsn"]
+        # order/lsn columns riding on the keys frame = the cascade's order position,
+        # in the table's composite order (order_cols..., lsn)
+        carry = [c for c in order_cols if c in keys.columns]
+        if "lsn" in keys.columns:
+            carry.append("lsn")
         if carry:
-            # several parent deletes for one scope key in a batch: keep the latest
+            # several parent deletes for one scope key in a batch: keep the one
+            # LATEST under the composite (order_cols, lsn) order as a unit — one
+            # struct-lexicographic max, so the carried position is one actual
+            # event's, never a per-column mix of two discordant deletes (a higher
+            # ts with a lower lsn must not synthesize a (ts, lsn) belonging to
+            # neither — ADVICE r03 low).
             keys = keys.groupBy(*scope_cols).agg(
-                *[F.max(c).alias(f"_casc_{c}") for c in carry]
+                F.max(F.struct(*[F.col(c) for c in carry])).alias("_casc")
+            ).select(
+                *scope_cols,
+                *[F.col(f"_casc.{c}").alias(f"_casc_{c}") for c in carry],
             )
         else:
             keys = keys.select(*scope_cols).distinct()
@@ -765,6 +796,27 @@ class SnapshotTable:
         return MergeResult(epoch_id=str(epoch_id), touched_buckets=touched,
                            snapshot_id=sid)
 
+    def commit_epoch_marker(self, epoch_id: str) -> MergeResult:
+        """Commit a NO-OP snapshot that only records ``epoch_id`` in the ledger —
+        data files and schema unchanged. Used when a scheduled maintenance pass
+        (e.g. tombstone expiry) evaluated and found nothing to do: the decision
+        itself must be durable, or a crash-resume replay of that epoch would
+        re-evaluate it against post-crash table state and diverge from the
+        uninterrupted run (ADVICE r03 medium). Idempotent per epoch_id."""
+        epoch_id = str(epoch_id)
+        m = self.manifest()
+        if epoch_id in set(m["committed_epochs"]):
+            return MergeResult(epoch_id=epoch_id, skipped=True,
+                               snapshot_id=m["snapshot_id"])
+        sid = self._write_manifest({
+            **m,
+            "snapshot_id": m["snapshot_id"] + 1,
+            "parent_id": m["snapshot_id"],
+            "epoch_id": epoch_id,
+            "committed_epochs": m["committed_epochs"] + [epoch_id],
+        })
+        return MergeResult(epoch_id=epoch_id, touched_buckets=[], snapshot_id=sid)
+
     # ---------------------------------------------------------------- maintenance
 
     def compact(self, epoch_id: str, target_buckets: list[int] | None = None) -> MergeResult:
@@ -826,12 +878,18 @@ class SnapshotTable:
         # (three-valued ~NULL would silently drop it), and candidate buckets are
         # discovered with a narrow (key, wcol, _deleted) scan first so the rewrite
         # touches only buckets that actually hold expired tombstones — O(expired),
-        # not O(table).
+        # not O(table). The watermark literal is cast to the column's OWN type: a
+        # TIMESTAMP_NTZ column compared against an uncast timestamp literal shifts
+        # by the session tz offset on non-UTC drivers (ADVICE r03 low).
+        wm = F.lit(older_than).cast(self.schema()[wcol].dataType)
         pred = F.coalesce(
-            F.coalesce(F.col(DELETED_COL), F.lit(False)) & (F.col(wcol) < F.lit(older_than)),
+            F.coalesce(F.col(DELETED_COL), F.lit(False)) & (F.col(wcol) < wm),
             F.lit(False),
         )
         m = self.manifest()
+        if str(epoch_id) in set(m["committed_epochs"]):
+            return MergeResult(epoch_id=str(epoch_id), skipped=True,
+                               snapshot_id=m["snapshot_id"])
         key0, B = m["key_cols"][0], m["num_buckets"]
         candidates = sorted(
             r[0]
@@ -842,8 +900,11 @@ class SnapshotTable:
             .collect()
         )
         if not candidates:
-            return MergeResult(epoch_id=str(epoch_id), skipped=True,
-                               snapshot_id=m["snapshot_id"])
+            # the "nothing expired" decision is still LEDGERED: a crash-resume
+            # replay of this epoch must not re-run expiry against post-crash
+            # state (which may hold late tombstones older than this epoch's
+            # watermark) — has_epoch short-circuits it (ADVICE r03 medium).
+            return self.commit_epoch_marker(epoch_id)
         return self.delete_where(pred, epoch_id=epoch_id, buckets=candidates)
 
     def vacuum(self) -> int:

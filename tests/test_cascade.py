@@ -157,6 +157,33 @@ def test_cascade_tombstones_suppress_late_resurrection(spark, tmp_path):
     assert len(got) == 1 and got[0]["annotation"] == "legit new note"
 
 
+def test_cascade_discordant_parent_deletes_carry_one_event(spark, tmp_path):
+    """ADVICE r03 low: two parent deletes for one scope key with DISCORDANT
+    ordering (higher ts but lower lsn vs lower ts, higher lsn) must synthesize a
+    tombstone carrying ONE actual event's (ts, lsn) — the composite-order max —
+    never a per-column mix (ts from one, lsn from the other) that belongs to
+    neither and would shift the LWW boundary for late child events."""
+    child = _mk_child(spark, str(tmp_path / "child_d"))
+    # delete A: ts=+100s, lsn=5 (composite winner); delete B: ts=+90s, lsn=7.
+    # Per-column max would fabricate (ts=+100s, lsn=7).
+    keys = spark.createDataFrame(
+        [("cB", TS0 + dt.timedelta(seconds=100), 5),
+         ("cB", TS0 + dt.timedelta(seconds=90), 7)],
+        "conv_id string, ts timestamp, lsn long",
+    )
+    child.cascade_tombstones(keys, epoch_id="casc-discordant")
+    tomb = (
+        child.read(include_meta=True)
+        .filter(F.coalesce(F.col("_deleted"), F.lit(False)) & (F.col("conv_id") == "cB"))
+        .select("ts", "_lsn")
+        .distinct()
+        .collect()
+    )
+    assert len(tomb) == 1
+    assert tomb[0]["ts"] == TS0 + dt.timedelta(seconds=100)
+    assert tomb[0]["_lsn"] == 5  # the winner's own lsn, not max-of-lsns (7)
+
+
 def test_cascade_applies_on_resume_after_main_commit(spark, tmp_path):
     """Crash between the parent merge commit and the child delete: the resume path
     must still fan the delete out (the child's own ledger decides)."""

@@ -80,6 +80,65 @@ def test_expire_tombstones_and_resurrection_boundary(spark, tmp_path):
     assert {r["conv_id"] for r in tbl.read().collect()} == {"c1", "c2"}
 
 
+def test_noop_expiry_commits_ledger_marker(spark, tmp_path):
+    """ADVICE r03 medium: an expiry pass that finds NO candidates must still
+    commit its ledger entry — otherwise a crash-resume replay of that epoch
+    re-runs expiry against post-crash state (which may hold late tombstones
+    older than the watermark) and drops rows an uninterrupted run retained."""
+    tbl = SnapshotTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, ["conv_id", "turn_idx"], num_buckets=2
+    )
+    tbl.merge(
+        _batch(spark, [("I", 1, "c1", 0, "x", TS0 - dt.timedelta(days=3))]),
+        epoch_id="1",
+    )
+    before = tbl.read().collect()
+
+    r = tbl.expire_tombstones(TS0 - dt.timedelta(days=1), epoch_id="e1/expire")
+    assert not r.skipped and tbl.has_epoch("e1/expire")  # decision is durable
+    assert tbl.read().collect() == before  # data untouched
+
+    # a LATE tombstone (older than that watermark) lands after the no-op pass;
+    # the replayed expiry must short-circuit on the ledger, not re-evaluate
+    tbl.merge(
+        _batch(spark, [("D", 2, "c1", 0, None, TS0 - dt.timedelta(days=2))]),
+        epoch_id="2",
+    )
+    sid = tbl.current_snapshot_id()
+    assert tbl.expire_tombstones(TS0 - dt.timedelta(days=1), epoch_id="e1/expire").skipped
+    assert tbl.current_snapshot_id() == sid
+    # the late tombstone is still retained (replay did NOT drop it)
+    meta = tbl.read(include_meta=True)
+    assert meta.filter(F.coalesce(F.col("_deleted"), F.lit(False))).count() == 1
+
+
+def test_staged_files_narrow_exception_handling(spark, tmp_path):
+    """ADVICE r03 medium: _staged_files maps ONLY genuinely-empty-stage
+    conditions (missing path / schema-inference failure on an empty dir) to {};
+    any transient read failure re-raises — a manifest must never commit empty
+    file lists for touched buckets because of a blip."""
+    import pytest
+
+    tbl = SnapshotTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, ["conv_id", "turn_idx"], num_buckets=2
+    )
+    # genuinely missing stage dir → empty mapping
+    assert tbl._staged_files("data/no-such-stage") == {}
+
+    # transient failure (not an AnalysisException) → re-raised, not swallowed
+    class _BoomReader:
+        def parquet(self, *_a, **_k):
+            raise RuntimeError("transient fs failure")
+
+    class _BoomSpark:
+        read = _BoomReader()
+
+    broken = SnapshotTable(spark, str(tmp_path / "t"))
+    broken.spark = _BoomSpark()
+    with pytest.raises(RuntimeError, match="transient fs failure"):
+        broken._staged_files("data/whatever")
+
+
 def test_crash_mid_merge_leaves_no_corruption(spark, tmp_path):
     """SIGKILL a spark-submit ingest while epochs are committing; the table must
     stay readable at the last committed snapshot, resume must converge to the

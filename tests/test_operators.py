@@ -148,6 +148,47 @@ def test_simhash_pairs_verified_match_exact(spark):
     assert sh == exact and len(exact) >= 1
 
 
+def test_simhash_table_plan_and_candidate_prefilter(spark):
+    """VERDICT r03 #1: (a) the auto plan picks ≥16-bit composite keys where the
+    table budget allows (d=6 → g=2: 28 tables of two 8-bit blocks; d=3 → g=1:
+    4 tables of 16-bit blocks); (b) the bit_count Hamming pre-filter makes the
+    candidate set EXACTLY the Hamming-ball pairs — guaranteed-recall blocks give
+    ⊇, the pre-filter gives ⊆."""
+    import itertools
+
+    from etl_german_fhir_core_spark.operators.dedup import (
+        _simhash_table_plan,
+        simhash_candidates,
+    )
+
+    k, combos = _simhash_table_plan(6, None, 64)
+    assert (k, len(combos)) == (8, 28) and all(len(c) == 2 for c in combos)
+    k, combos = _simhash_table_plan(3, None, 64)
+    assert (k, len(combos)) == (4, 4) and all(len(c) == 1 for c in combos)
+    with pytest.raises(ValueError):
+        _simhash_table_plan(6, 4, max_tables=64)  # C(10,4)=210 > budget
+
+    d = _docs(spark)
+    sigs = {r["doc"]: r["simhash"] for r in simhash_buckets(d, "doc_id", "text").collect()}
+
+    def ham(a: int, b: int) -> int:
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    for radius in (3, 6):
+        truth = {
+            (i, j)
+            for i, j in itertools.combinations(sorted(sigs), 2)
+            if ham(sigs[i], sigs[j]) <= radius
+        }
+        got = {
+            (r["id1"], r["id2"])
+            for r in simhash_candidates(
+                d, "doc_id", "text", max_hamming=radius
+            ).collect()
+        }
+        assert got == truth
+
+
 def test_cosine_topk_and_lsh_ann(spark):
     import math
 
