@@ -640,11 +640,16 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash signatures + prefix buckets (no SQL oracle: xxhash64-based)."""
+    """SimHash signatures + prefix buckets, on the md5 hash basis: bit b of the
+    vote comes from hex digit b//4, bit b%4 of md5(shingle) — reproducible in
+    any SQL engine, so the full 64-bit signature gets a DuckDB oracle (the
+    xxhash64 default basis is the production fast path; this closes the one
+    rows-only row from r03)."""
     from etl_german_fhir_core_spark.operators.dedup import simhash_buckets
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_buckets(d, "doc_id", "text", n=3, prefix_bits=16)
+    return simhash_buckets(d, "doc_id", "text", n=3, prefix_bits=16,
+                           hash_basis="md5")
 
 
 def q_dedup_simhash_pairs(spark, sf_dir):
@@ -1410,10 +1415,44 @@ def oracle_sql() -> dict[str, str]:
               WHERE q.vec_id < 5
             ) WHERE rank <= 3
         """,
-        # dedup_simhash: the 64-bit signature IS an xxhash64 bit-vote — not
-        # expressible in DuckDB → rows-only check by design (irreducible), with a
-        # pytest agreement test on identical-doc signatures.
     }
+    # dedup_simhash (md5 basis): the bit-vote IS expressible in DuckDB — bit b of
+    # each shingle's contribution is bit (b%4) of hex digit (b//4) of
+    # md5(shingle); signature bit b is set iff the ±1 vote sum is positive. The
+    # 64 vote sums and the signed-64-bit assembly (bit 63 = -2^63) are generated
+    # here; bucket = unsigned >> 48, written as (sig >> 48) & 65535 (identical
+    # under arithmetic or logical shift after the mask).
+    _vote_terms = ",\n                   ".join(
+        "SUM(CASE WHEN ((strpos('0123456789abcdef', substr(m, "
+        f"{b // 4 + 1}, 1)) - 1) >> {b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(64)
+    )
+    _sig_terms = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST({2**b if b < 63 else -(2**63)} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END"
+        for b in range(64)
+    )
+    oracles["dedup_simhash"] = f"""
+            WITH norm AS (
+              SELECT doc_id, string_split({_NORM_DOC}, ' ') AS w FROM documents
+            ), grams AS (
+              SELECT DISTINCT doc_id,
+                     w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+              FROM norm, UNNEST(range(1, GREATEST(len(w) - 1, 1))) AS t(i)
+              WHERE len(w) >= 3
+            ), digs AS (
+              SELECT doc_id, md5(shingle) AS m FROM grams
+            ), votes AS (
+              SELECT doc_id,
+                   {_vote_terms}
+              FROM digs GROUP BY doc_id
+            ), sig AS (
+              SELECT doc_id AS doc, CAST({_sig_terms} AS BIGINT) AS simhash
+              FROM votes
+            )
+            SELECT doc, simhash, CAST((simhash >> 48) & 65535 AS BIGINT) AS bucket
+            FROM sig
+        """
     # star-contraction clusters resolve the same components as label propagation —
     # one recursive-CTE oracle serves both
     oracles["dedup_clusters_star"] = oracles["dedup_clusters"]

@@ -272,21 +272,50 @@ def minhash_lsh_pairs(
 
 
 def simhash_buckets(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, prefix_bits: int = 16
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    prefix_bits: int = 16,
+    hash_basis: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash per document + a prefix bucket for near-dup candidate grouping.
 
     bit b of the signature = sign of sum over shingles of (±1 depending on bit b of
-    xxhash64(shingle)). Vectorized as an explode + 64 conditional sums (one shuffle).
+    hash(shingle)). Vectorized as an explode + 64 conditional sums (one shuffle).
+
+    ``hash_basis`` selects the per-shingle hash the bit-votes derive from:
+
+    - ``"xxhash64"`` (default): one JVM xxhash64 per shingle — the fast path.
+    - ``"md5"``: bits come from the first 16 hex digits of md5(shingle), bit b =
+      bit (b % 4) of hex digit (b // 4). md5 exists in every SQL engine, which
+      makes the signature CROSS-ENGINE REPRODUCIBLE — the DuckDB-oracle basis
+      (xxhash64 bit-votes have no SQL equivalent; VERDICT r03 next #2). Same
+      quality (both are uniform bit sources), ~16 extra string ops per shingle.
     """
-    sh = _shingle_rows(df, id_col, text_col, n).withColumn("h", F.xxhash64("shingle"))
-    votes = sh.groupBy("doc").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{b}")
-            for b in range(64)
+    sh = _shingle_rows(df, id_col, text_col, n)
+    if hash_basis == "xxhash64":
+        sh = sh.withColumn("h", F.xxhash64("shingle"))
+
+        def bit(b: int):
+            return F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))
+
+    elif hash_basis == "md5":
+        digits = [
+            F.conv(F.substring(F.md5(F.col("shingle")), i + 1, 1), 16, 10)
+            .cast("int")
+            .alias(f"_d{i}")
+            for i in range(16)
         ]
+        sh = sh.select("doc", *digits)
+
+        def bit(b: int):
+            return F.shiftright(F.col(f"_d{b // 4}"), b % 4).bitwiseAND(F.lit(1))
+
+    else:
+        raise ValueError(f"unknown hash_basis {hash_basis!r}")
+    votes = sh.groupBy("doc").agg(
+        *[F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"v{b}") for b in range(64)]
     )
     sig = F.lit(0).cast("long")
     for b in range(64):
