@@ -872,6 +872,48 @@ def q_rest_paged_scan(spark, sf_dir):
     return out.select("doc_id", "text")
 
 
+def q_rest_link_walk(spark, sf_dir):
+    """S6 cursor mode: opaque next-link walking with recorded restart state —
+    the reference's actual pagination protocol (FhirServerItemReader.java:76-133,
+    restart :160-191; sources/rest.rest_link_walk_scan). The fake server only
+    hands out opaque continuation tokens (no total/offset), so the page-grid
+    fast path is impossible by construction; same plain-SELECT oracle as
+    rest_paged_scan — a lost page, dropped entry, or mis-parsed field fails the
+    hash."""
+    import json as _json
+
+    from pyspark.sql import types as T2
+
+    from etl_german_fhir_core_spark.sources import rest_link_walk_scan
+
+    rows = sorted(
+        (int(r["doc_id"]), r["text"])
+        for r in _t(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    )
+    page = 100
+
+    def fetch(url: str) -> str:
+        k = 0 if "cursor-" not in url else int(url.rsplit("cursor-", 1)[1])
+        entries = [
+            {"resource": {"doc_id": i, "text": t}}
+            for i, t in rows[k * page : (k + 1) * page]
+        ]
+        links = (
+            [{"relation": "next", "url": f"http://fake/fhir?cursor-{k + 1}"}]
+            if (k + 1) * page < len(rows)
+            else []
+        )
+        return _json.dumps({"link": links, "entry": entries})
+
+    schema = T2.StructType(
+        [T2.StructField("doc_id", T2.LongType()), T2.StructField("text", T2.StringType())]
+    )
+    out = rest_link_walk_scan(
+        spark, "http://fake/fhir/DocumentReference", fetch, schema
+    )
+    return out.select("doc_id", "text")
+
+
 def q_multimodal_payload_meta(spark, sf_dir):
     """Multimodal plumbing: opaque binary payload column + typed metadata (decode is
     stubbed in etl_german_fhir_core_spark.multimodal; here: byte length accounting)."""
@@ -940,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_ivf": q_sim_ann_ivf,
         "rest_paged_scan": q_rest_paged_scan,
+        "rest_link_walk": q_rest_link_walk,
         "multimodal_payload_meta": q_multimodal_payload_meta,
     }
 
@@ -1361,6 +1404,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5({_NORM_DOC}) AS fingerprint FROM documents
         """,
         "rest_paged_scan": """
+            SELECT doc_id, text FROM documents
+        """,
+        "rest_link_walk": """
             SELECT doc_id, text FROM documents
         """,
         # dedup_minhash_lsh's VERIFIED output is exact Jaccard on LSH candidates;

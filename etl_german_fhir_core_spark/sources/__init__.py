@@ -5,7 +5,11 @@ from etl_german_fhir_core_spark.sources.readers import (
     jdbc_paged,
     parquet_feed,
 )
-from etl_german_fhir_core_spark.sources.rest import rest_page_plan, rest_paged_scan
+from etl_german_fhir_core_spark.sources.rest import (
+    rest_link_walk_scan,
+    rest_page_plan,
+    rest_paged_scan,
+)
 
 __all__ = [
     "parquet_feed",
@@ -13,4 +17,5 @@ __all__ = [
     "jdbc_paged",
     "rest_page_plan",
     "rest_paged_scan",
+    "rest_link_walk_scan",
 ]

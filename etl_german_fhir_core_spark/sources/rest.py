@@ -27,6 +27,7 @@ are all real and tested either way.
 from __future__ import annotations
 
 import json
+import os
 from typing import Callable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -96,6 +97,14 @@ def rest_paged_scan(
             )
 
     bodies = pages.mapInPandas(fetch, body_schema)
+    return _parse_bundle_entries(bodies, resource_schema)
+
+
+def _parse_bundle_entries(
+    bodies: DataFrame, resource_schema: T.StructType, body_col: str = "body"
+) -> DataFrame:
+    """JVM-side Bundle parse shared by both paging modes: from_json + explode
+    keeps per-record work codegen'd — Python only ever moves page bodies."""
     bundle_schema = T.StructType(
         [
             T.StructField(
@@ -106,11 +115,98 @@ def rest_paged_scan(
             )
         ]
     )
-    # JVM-side parse: from_json + explode keeps per-record work codegen'd
     return (
         bodies.select(
             "page_idx",
-            F.explode(F.from_json(F.col("body"), bundle_schema)["entry"]).alias("e"),
+            F.explode(F.from_json(F.col(body_col), bundle_schema)["entry"]).alias("e"),
         )
         .select("page_idx", F.col("e.resource.*"))
     )
+
+
+def _next_link(body: str) -> str | None:
+    """The Bundle's opaque continuation URL (FHIR: link[rel=next].url), or None
+    on the last page."""
+    doc = json.loads(body)
+    for link in doc.get("link", []) or []:
+        if link.get("relation") == "next" and link.get("url"):
+            return link["url"]
+    return None
+
+
+def rest_link_walk_scan(
+    spark: SparkSession,
+    first_url: str,
+    fetch_page: Callable[[str], str],
+    resource_schema: T.StructType,
+    cursor_path: str | None = None,
+    max_pages: int = 1_000_000,
+) -> DataFrame:
+    """S6 cursor mode: follow OPAQUE ``next`` links from each Bundle — the
+    reference's actual protocol (FhirServerItemReader.java:76-133) for servers
+    that never expose ``total``/offset paging, with the reference's recorded
+    restart state (ExecutionContext save/restore, :160-191) re-expressed as
+    durable page bodies.
+
+    The fetch walk is inherently SERIAL (each page's URL is only known from the
+    previous page), so it runs on the driver; everything per-record — Bundle
+    parse, projection — is the same distributed JVM-side plan as the page-grid
+    fast path (_parse_bundle_entries). Use rest_paged_scan when the server
+    honors a deterministic (offset, count) grid; this mode is the compatibility
+    path and its cost model is 1 round-trip per page.
+
+    Restart state: with ``cursor_path`` set, each fetched body is recorded
+    atomically as ``page-<i>.json`` BEFORE its next link is followed. The
+    recorded prefix is authoritative: a restarted walk re-reads it (zero
+    refetches — servers may not replay consumed cursors), resumes from the last
+    recorded page's next link, and the final DataFrame reads the recorded files
+    — so a mid-walk crash never refetches or loses a page, and a completed walk
+    re-run is a pure local read. In-memory (no restart state) when None."""
+    recorded: list[str] = []  # in-memory bodies (cursor_path=None)
+    url: str | None = first_url
+    n_done = 0
+    if cursor_path is not None:
+        os.makedirs(cursor_path, exist_ok=True)
+        while True:
+            p = os.path.join(cursor_path, f"page-{n_done:06d}.json")
+            if not os.path.exists(p):
+                break
+            with open(p, encoding="utf-8") as fh:
+                body = fh.read()
+            url = _next_link(body)
+            n_done += 1
+    while url is not None:
+        if n_done >= max_pages:
+            raise RuntimeError(
+                f"rest_link_walk_scan exceeded max_pages={max_pages} — a next-link "
+                "cycle or runaway cursor; raise max_pages deliberately if real"
+            )
+        body = fetch_page(url)
+        if cursor_path is not None:
+            p = os.path.join(cursor_path, f"page-{n_done:06d}.json")
+            tmp = p + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                fh.write(body)
+            os.replace(tmp, p)  # record-then-advance: crash loses at most a tmp
+        else:
+            recorded.append(body)
+        url = _next_link(body)
+        n_done += 1
+    if cursor_path is not None:
+        if n_done == 0:
+            bodies = spark.createDataFrame([], "page_idx int, body string")
+        else:
+            bodies = (
+                spark.read.text(os.path.join(cursor_path, "page-*.json"), wholetext=True)
+                .select(
+                    F.regexp_extract(F.input_file_name(), r"page-(\d+)\.json", 1)
+                    .cast("int")
+                    .alias("page_idx"),
+                    F.col("value").alias("body"),
+                )
+            )
+    else:
+        bodies = spark.createDataFrame(
+            list(enumerate(recorded)) or [], "page_idx int, body string"
+        )
+    return _parse_bundle_entries(bodies, resource_schema)
