@@ -924,6 +924,44 @@ def q_multimodal_payload_meta(spark, sf_dir):
     )
 
 
+def q_multimodal_ppm_decode(spark, sf_dir):
+    """END-TO-END image decode on REAL pixel bytes (multimodal/binary.py
+    pure-numpy PPM codec): each doc gets a deterministic solid-color P6 payload
+    whose dimensions/colors are arithmetic functions of doc_id, generated and
+    decoded entirely inside Arrow-batched mapInPandas stages. The decoded
+    header dimensions and per-channel means must recover those functions
+    exactly — so a plain-arithmetic DuckDB SELECT is a full value oracle for
+    the binary decode path (a mis-parsed header, channel swap, or byte-order
+    bug fails the hash)."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_german_fhir_core_spark.multimodal import encode_ppm, extract_features
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 8 + i % 5, 6 + i % 3
+                arr = np.zeros((h, w, 3), dtype=np.uint8)
+                arr[..., 0] = i % 256
+                arr[..., 1] = (i * 7) % 256
+                arr[..., 2] = (i * 13) % 256
+                payloads.append(encode_ppm(arr))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    imgs = d.mapInPandas(gen, "doc_id long, payload binary")
+    feats = extract_features(imgs)
+    mean = lambda i: (F.round(F.element_at("feature", i) * 255, 0)).cast("int")
+    return feats.select(
+        "doc_id", "width", "height",
+        mean(1).alias("mean_r"), mean(2).alias("mean_g"), mean(3).alias("mean_b"),
+    )
+
+
 # --------------------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -984,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rest_paged_scan": q_rest_paged_scan,
         "rest_link_walk": q_rest_link_walk,
         "multimodal_payload_meta": q_multimodal_payload_meta,
+        "multimodal_ppm_decode": q_multimodal_ppm_decode,
     }
 
 
@@ -1408,6 +1447,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rest_link_walk": """
             SELECT doc_id, text FROM documents
+        """,
+        # the PPM payloads are solid-color images whose dims/colors are pure
+        # arithmetic in doc_id — decoding real bytes must recover them exactly
+        "multimodal_ppm_decode": """
+            SELECT doc_id,
+                   CAST(8 + doc_id % 5 AS INTEGER) AS width,
+                   CAST(6 + doc_id % 3 AS INTEGER) AS height,
+                   CAST(doc_id % 256 AS INTEGER) AS mean_r,
+                   CAST((doc_id * 7) % 256 AS INTEGER) AS mean_g,
+                   CAST((doc_id * 13) % 256 AS INTEGER) AS mean_b
+            FROM documents
         """,
         # dedup_minhash_lsh's VERIFIED output is exact Jaccard on LSH candidates;
         # at the contract band configuration recall is 1.0 on this corpus, so the

@@ -1,8 +1,11 @@
 """Multimodal column plumbing."""
 
 from etl_german_fhir_core_spark.multimodal.binary import (
+    PPM_MEDIA_TYPE,
     attach_payload_meta,
     decode_image_stub,
+    decode_ppm,
+    encode_ppm,
     extract_features,
     frame_sample_plan,
     resize_images,
@@ -11,7 +14,10 @@ from etl_german_fhir_core_spark.multimodal.binary import (
 __all__ = [
     "attach_payload_meta",
     "decode_image_stub",
+    "decode_ppm",
+    "encode_ppm",
     "extract_features",
     "frame_sample_plan",
     "resize_images",
+    "PPM_MEDIA_TYPE",
 ]
