@@ -45,16 +45,18 @@ HEADLINE = [
 CDC_REPLAY_EVENTS = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "1000000"))
 CDC_REPLAY_REPS = int(os.environ.get("SPARK_GRAFT_CDC_REPS", "3"))
 
-# previous round's per-query seconds (driver's BENCH_r02.json) — any query >1.3x
+# previous round's per-query seconds (driver's BENCH_r03.json) — any query >1.3x
 # its prior time in THIS run is flagged in the output so a regression can't hide
 # in the total (VERDICT r02 next-step #10)
 PRIOR_TIMES = {
-    "cdc_lww_final_state": 9.104, "agg_pricing_summary": 1.724, "era_islands": 1.967,
-    "join_concept_lookup": 1.535, "join_pairing_reciprocal": 1.217,
-    "window_latest_per_key": 0.905, "text_token_count": 0.549, "dedup_exact": 2.667,
-    "dedup_ngram_jaccard": 5.108, "dedup_minhash_lsh": 9.445, "sim_cosine_topk": 1.63,
-    "cdc_replay": 12.39,  # r01 value — the r02 27.4 s was the unprotected probe
+    "cdc_lww_final_state": 4.382, "agg_pricing_summary": 1.029, "era_islands": 1.154,
+    "join_concept_lookup": 1.066, "join_pairing_reciprocal": 0.958,
+    "window_latest_per_key": 0.619, "text_token_count": 0.264, "dedup_exact": 2.290,
+    "dedup_ngram_jaccard": 3.502, "dedup_minhash_lsh": 5.775, "sim_cosine_topk": 0.884,
+    "cdc_replay": 9.952,
 }
+
+HEADLINE_REPS = int(os.environ.get("SPARK_GRAFT_HEADLINE_REPS", "2"))
 
 
 def _materialize(df) -> int:
@@ -82,11 +84,18 @@ def run_headline() -> dict:
         token_count_pd(F.lit("warm up the arrow workers"))
     ).write.format("noop").mode("overwrite").save()
 
+    # min-of-reps for EVERY headline query (VERDICT r03 next #8): the box's
+    # bursty stalls previously hit single-shot queries and only the regression
+    # flag caught it; now each query's best-of-HEADLINE_REPS is reported.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        _materialize(qs[name](spark, SF_DIR))
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(HEADLINE_REPS):
+            t0 = time.time()
+            _materialize(qs[name](spark, SF_DIR))
+            dt_ = time.time() - t0
+            best = dt_ if best is None else min(best, dt_)
+        timings[name] = round(best, 3)
 
     # CDC replay probe — FIXED-WORK MIN-OF-REPS (VERDICT r02 #1: a single timed
     # replay let one bad sandbox window poison the flagship metric 2.2x). Each rep
@@ -164,6 +173,33 @@ def run_headline() -> dict:
         _materialize(minhash_lsh_pairs(big, "doc_id", "text", n=3, num_hashes=32,
                                        bands=8, verify_threshold=0.5))
         probe["dedup_probe_minhash_sec"] = round(time.time() - t0, 3)
+
+        # simhash candidate-volume probe (VERDICT r03 #1 done-criterion): at the
+        # entry-query radius (d=12), the Hamming-prefiltered candidate count
+        # must track minhash's candidate count at equal (full) recall on the
+        # same corpus — the pre-filter is what keeps the shingle-level verify
+        # off the ~N²/2^w block-collision pairs.
+        from etl_german_fhir_core_spark.operators.dedup import (
+            simhash_candidates,
+            simhash_pairs,
+        )
+
+        spark.catalog.clearCache()
+        t0 = time.time()
+        probe["minhash_probe_candidates"] = minhash_lsh_pairs(
+            big, "doc_id", "text", n=3, num_hashes=32, bands=8,
+            verify_threshold=None,
+        ).count()
+        probe["minhash_cand_sec"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        probe["simhash_probe_candidates"] = simhash_candidates(
+            big, "doc_id", "text", n=3, max_hamming=12
+        ).count()
+        probe["simhash_cand_sec"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        _materialize(simhash_pairs(big, "doc_id", "text", n=3, max_hamming=12,
+                                   verify_threshold=0.5))
+        probe["dedup_probe_simhash_sec"] = round(time.time() - t0, 3)
 
         # max_df stop-shingle guard probe (VERDICT r02 #7): a boilerplate-heavy
         # corpus (every doc shares a footer) makes the uncapped shingle self-join
@@ -275,19 +311,23 @@ def run_headline() -> dict:
     }
 
 
-def run_scaling(epoch_rows: int = 4_000_000, n_execs: int = 1, repeats: int = 4) -> dict:
-    """Same job, same input, N vs 4N EXECUTORS (Spark local-cluster mode: real
-    separate executor JVMs, 2 cores each — the literal BASELINE.json criterion).
+def run_scaling(epoch_rows: int = 8_000_000, n_execs: int = 1, repeats: int = 3) -> dict:
+    """Same job, same input, swept over N / 2N / 4N EXECUTORS (Spark
+    local-cluster mode: real separate executor JVMs, 2 cores each — the literal
+    BASELINE.json criterion, plus the midpoint so the efficiency CURVE is
+    visible, not just its endpoints; VERDICT r03 next #7).
 
     Fixed-work protocol (every decision evidence-driven; see BENCH/BASELINE.md):
     - each timed epoch re-applies the SAME lsn range onto a steady-state table:
       identical work per epoch, min() filters the sandbox's bursty stalls
       (identical epochs measured 30 s vs 254 s across runs from host noise),
     - one warmup epoch first (JIT warmup measured to decay over ~2 epochs),
+    - 8M-event epochs (2× r03) amortize per-epoch fixed costs (manifest commit,
+      job scheduling, JIT) further into the measured work,
     - feed generated in its own JVM; working set on /dev/shm,
     - substrate controls quantify what THIS box can scale at all: register-only
       python procs, numpy memory-streaming procs, and a trivial
-      embarrassingly-parallel Spark job at the same two cluster sizes.
+      embarrassingly-parallel Spark job at the same cluster sizes.
     """
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     work = tempfile.mkdtemp(prefix="bench_scale_", dir=base)
@@ -296,6 +336,7 @@ def run_scaling(epoch_rows: int = 4_000_000, n_execs: int = 1, repeats: int = 4)
         ["zip", "-qr", zip_path, "etl_german_fhir_core_spark"], cwd=REPO, check=True
     )
     master_n = f"local-cluster[{n_execs},2,6144]"
+    master_2n = f"local-cluster[{n_execs * 2},2,6144]"
     master_4n = f"local-cluster[{n_execs * 4},2,6144]"
 
     def submit(master: str, table: str, gen: bool) -> dict:
@@ -351,10 +392,15 @@ def run_scaling(epoch_rows: int = 4_000_000, n_execs: int = 1, repeats: int = 4)
     try:
         submit(f"local[{4 * n_execs * 2}]", f"{work}/unused", gen=True)
         r4 = submit(master_4n, f"{work}/tbl_4n", gen=False)
+        r2 = submit(master_2n, f"{work}/tbl_2n", gen=False)
         r1 = submit(master_n, f"{work}/tbl_n", gen=False)
-        assert r1["final_rows"] == r4["final_rows"], "state mismatch across parallelism"
+        assert r1["final_rows"] == r2["final_rows"] == r4["final_rows"], (
+            "state mismatch across parallelism"
+        )
         sus_n = epoch_rows / min(r1["epoch_secs"])
+        sus_2n = epoch_rows / min(r2["epoch_secs"])
         sus_4n = epoch_rows / min(r4["epoch_secs"])
+        eff_2n = (sus_2n / sus_n) / 2
         eff = (sus_4n / sus_n) / 4
 
         # dedup-family scaling (VERDICT r02 #8): same fixed-work min-of-reps
@@ -365,23 +411,31 @@ def run_scaling(epoch_rows: int = 4_000_000, n_execs: int = 1, repeats: int = 4)
         assert d1["pairs"] == d4["pairs"], "dedup result mismatch across parallelism"
         dedup_eff = (min(d1["rep_secs"]) / min(d4["rep_secs"])) / 4
 
-        # substrate controls
+        # substrate controls (same three cluster sizes → substrate curve)
         hash_4n = control([master_4n])["spark_hash_eps"]
+        hash_2n = control([master_2n])["spark_hash_eps"]
         hash_n = control([master_n])["spark_hash_eps"]
         py_1 = control(["--procs", str(2 * n_execs)])
         py_4 = control(["--procs", str(8 * n_execs)])
+        substrate_eff_2n = (hash_2n / hash_n) / 2
         substrate_eff = (hash_4n / hash_n) / 4
 
         result = {
             "executors_N": n_execs,
+            "executors_2N": 2 * n_execs,
             "executors_4N": 4 * n_execs,
             "cores_per_executor": 2,
             "timed_events": epoch_rows * repeats,
             "epoch_secs_N": r1["epoch_secs"],
+            "epoch_secs_2N": r2["epoch_secs"],
             "epoch_secs_4N": r4["epoch_secs"],
             "events_per_sec_N": round(sus_n, 1),
+            "events_per_sec_2N": round(sus_2n, 1),
             "events_per_sec_4N": round(sus_4n, 1),
+            "scaling_efficiency_2N": round(eff_2n, 3),
             "scaling_efficiency": round(eff, 3),
+            "substrate_spark_hash_eff_2N": round(substrate_eff_2n, 3),
+            "normalized_efficiency_2N": round(eff_2n / substrate_eff_2n, 3) if substrate_eff_2n else None,
             "dedup_rep_secs_N": d1["rep_secs"],
             "dedup_rep_secs_4N": d4["rep_secs"],
             "dedup_pairs": d1["pairs"],
@@ -401,25 +455,28 @@ def run_scaling(epoch_rows: int = 4_000_000, n_execs: int = 1, repeats: int = 4)
 
 def _write_baseline_md(r: dict) -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    n_e, n4_e = r["executors_N"], r["executors_4N"]
+    n_e, n2_e, n4_e = r["executors_N"], r["executors_2N"], r["executors_4N"]
+    epoch_m = r["timed_events"] // len(r["epoch_secs_4N"]) // 1_000_000
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write(
-            "# BENCH/BASELINE — N vs 4N executor scaling evidence\n\n"
+            "# BENCH/BASELINE — N / 2N / 4N executor scaling evidence\n\n"
             "Per BASELINE.json the criterion is throughput scaling efficiency ≥ 0.8 "
             "from N to 4N executors. In-sandbox this is evidenced with Spark "
             "local-cluster mode (real separate executor JVMs on one box) running the "
-            "identical spark-submit job on the identical input, plus substrate "
+            "identical spark-submit job on the identical input — swept over three "
+            "cluster sizes so the efficiency CURVE is visible — plus substrate "
             "controls that measure what this virtualized box can scale at all.\n\n"
             "## Engine measurement (fixed-work repeated epochs)\n\n"
             f"| quantity | value |\n|---|---|\n"
-            f"| timed work | {r['timed_events']:,} events — the same 4M-event range re-applied as {len(r['epoch_secs_4N'])} identical epochs onto a steady-state table, after 1 warmup epoch |\n"
+            f"| timed work | {r['timed_events']:,} events per level — the same {epoch_m}M-event range re-applied as {len(r['epoch_secs_4N'])} identical epochs onto a steady-state table, after 1 warmup epoch |\n"
             f"| job | jobs/cdc_ingest_job.py — full engine: scan→validity gate→hash-agg LWW MERGE→normalize winners |\n"
-            f"| cluster sizes | local-cluster: {n_e} executor(s) × 2 cores (N) vs {n4_e} executors × 2 cores (4N) |\n"
+            f"| cluster sizes | local-cluster: {n_e} / {n2_e} / {n4_e} executors × 2 cores |\n"
             f"| per-epoch seconds @ N | {r['epoch_secs_N']} |\n"
+            f"| per-epoch seconds @ 2N | {r['epoch_secs_2N']} |\n"
             f"| per-epoch seconds @ 4N | {r['epoch_secs_4N']} |\n"
-            f"| sustained events/sec @ N | {r['events_per_sec_N']:,} (best identical epoch) |\n"
-            f"| sustained events/sec @ 4N | {r['events_per_sec_4N']:,} (best identical epoch) |\n"
-            f"| **raw scaling efficiency** (throughput_4N/throughput_N)/4 | **{r['scaling_efficiency']}** |\n"
+            f"| sustained events/sec @ N / 2N / 4N | {r['events_per_sec_N']:,} / {r['events_per_sec_2N']:,} / {r['events_per_sec_4N']:,} (best identical epoch) |\n"
+            f"| efficiency N→2N (throughput_2N/throughput_N)/2 | {r['scaling_efficiency_2N']} (substrate control at 2N: {r['substrate_spark_hash_eff_2N']}; normalized {r['normalized_efficiency_2N']}) |\n"
+            f"| **raw scaling efficiency N→4N** (throughput_4N/throughput_N)/4 | **{r['scaling_efficiency']}** |\n"
             f"| final-state equality across levels | {r['final_rows_match']} |\n\n"
             "## Dedup-family scaling (same protocol: fixed work, min-of-reps)\n\n"
             f"| quantity | value |\n|---|---|\n"

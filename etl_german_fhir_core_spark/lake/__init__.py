@@ -22,6 +22,7 @@ from etl_german_fhir_core_spark.lake.commit import (
     ConditionalPutCommitter,
     PosixCommitter,
 )
+from etl_german_fhir_core_spark.lake.store import LocalStore
 from etl_german_fhir_core_spark.lake.table import MergeResult, SnapshotTable
 
 __all__ = [
@@ -30,4 +31,5 @@ __all__ = [
     "CommitConflict",
     "ConditionalPutCommitter",
     "PosixCommitter",
+    "LocalStore",
 ]
