@@ -700,6 +700,69 @@ def q_dedup_clusters_star(spark, sf_dir):
     return dedup_clusters_star(pairs)
 
 
+def q_text_redact_pii(spark, sf_dir):
+    """Training-data PII scrub (functions/text.redact_pii): URLs, emails, and
+    phone shapes → typed placeholders, as chained JVM-side regexp_replace. The
+    corpus has no organic PII, so deterministic synthetic PII (pure function of
+    doc_id) is appended in-query and the DuckDB oracle applies the identical
+    chain — a missed match, wrong order (email-inside-URL), or non-global
+    replace fails the hash."""
+    from etl_german_fhir_core_spark.functions.text import redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    with_pii = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com via https://ex.example/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?x=1 or call +1 555 010 "), F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return with_pii.select("doc_id", redact_pii("text").alias("text"))
+
+
+def q_text_contamination(spark, sf_dir):
+    """Benchmark-contamination check (operators/dedup.ngram_contamination):
+    per-document fraction of distinct 5-gram shingles that appear anywhere in
+    the 'benchmark' slice (doc_id % 20 == 0 plays the held-out eval corpus).
+    The train/eval hygiene pass every pre-training pipeline needs; benchmark
+    shingles broadcast (eval suites are MBs against TBs)."""
+    from etl_german_fhir_core_spark.operators.dedup import ngram_contamination
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    train = d.filter(F.col("doc_id") % 20 != 0)
+    out = ngram_contamination(train, bench, "doc_id", "text", n=5)
+    return out.select(
+        F.col("doc").alias("doc_id"), "n_shingles", "n_contaminated",
+        "contamination_rate",
+    )
+
+
+def q_dedup_chunk_exact(spark, sf_dir):
+    """Sub-document exact dedup (operators/dedup.chunk_exact_dupes): fixed
+    10-word chunks repeated across the corpus — the boilerplate/templated-span
+    pass document-level dedup misses. Chunks are built by slicing the token
+    array per chunk index (codegen'd; no order-nondeterministic collect_list)."""
+    from etl_german_fhir_core_spark.operators.dedup import chunk_exact_dupes
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_exact_dupes(d, "doc_id", "text", chunk_words=10, min_dupes=2)
+
+
+def q_text_top_ngrams(spark, sf_dir):
+    """Corpus n-gram document-frequency stats (operators/dedup.top_ngrams): the
+    20 most document-frequent 3-grams, ties broken lexicographically — the
+    boilerplate-discovery query whose output justifies ngram_jaccard_pairs'
+    max_df stop-shingle cap."""
+    from etl_german_fhir_core_spark.operators.dedup import top_ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    return top_ngrams(d, "doc_id", "text", n=3, k=20)
+
+
 _STOPWORDS = ["the", "and", "is", "of", "to", "in", "that", "a"]
 
 
@@ -1012,6 +1075,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_star": q_dedup_clusters_star,
+        "dedup_chunk_exact": q_dedup_chunk_exact,
+        "text_redact_pii": q_text_redact_pii,
+        "text_contamination": q_text_contamination,
+        "text_top_ngrams": q_text_top_ngrams,
         "dedup_embedding_ann": q_dedup_embedding_ann,
         "text_stopword_ratio": q_text_stopword_ratio,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -1447,6 +1514,63 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rest_link_walk": """
             SELECT doc_id, text FROM documents
+        """,
+        "text_redact_pii": """
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com via https://ex.example/p/'
+                            || CAST(doc_id AS VARCHAR)
+                            || '?x=1 or call +1 555 010 '
+                            || CAST(doc_id AS VARCHAR),
+                       'https?://[^\\s]+', '<URL>', 'g'),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+',
+                       '<EMAIL>', 'g'),
+                       '\\+?[0-9][0-9\\- ]{7,}[0-9]', '<PHONE>', 'g') AS text
+            FROM documents
+        """,
+        "text_contamination": f"""
+            WITH norm AS (
+              SELECT doc_id, string_split({_NORM_DOC}, ' ') AS w FROM documents
+            ), grams AS (
+              SELECT DISTINCT doc_id,
+                     w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                          || ' ' || w[i+4] AS shingle
+              FROM norm, UNNEST(range(1, GREATEST(len(w) - 3, 1))) AS t(i)
+              WHERE len(w) >= 5
+            ), bench AS (
+              SELECT DISTINCT shingle FROM grams WHERE doc_id % 20 = 0
+            )
+            SELECT g.doc_id, COUNT(*) AS n_shingles,
+                   COUNT(b.shingle) AS n_contaminated,
+                   ROUND(COUNT(b.shingle) * 1.0 / COUNT(*), 6) AS contamination_rate
+            FROM (SELECT * FROM grams WHERE doc_id % 20 <> 0) g
+            LEFT JOIN bench b ON g.shingle = b.shingle
+            GROUP BY g.doc_id
+        """,
+        "dedup_chunk_exact": f"""
+            WITH norm AS (
+              SELECT doc_id, string_split({_NORM_DOC}, ' ') AS w FROM documents
+            ), chunks AS (
+              SELECT doc_id,
+                     array_to_string(w[ci*10+1 : ci*10+10], ' ') AS chunk
+              FROM norm,
+                   UNNEST(range(0, CAST(CEIL(len(w) / 10.0) AS INT))) AS t(ci)
+            )
+            SELECT chunk, MIN(doc_id) AS keep_id, COUNT(*) AS n_dupes
+            FROM chunks GROUP BY chunk HAVING COUNT(*) >= 2
+        """,
+        "text_top_ngrams": f"""
+            WITH norm AS (
+              SELECT doc_id, string_split({_NORM_DOC}, ' ') AS w FROM documents
+            ), grams AS (
+              SELECT DISTINCT doc_id,
+                     w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+              FROM norm, UNNEST(range(1, GREATEST(len(w) - 1, 1))) AS t(i)
+              WHERE len(w) >= 3
+            )
+            SELECT shingle, COUNT(*) AS doc_freq FROM grams
+            GROUP BY shingle ORDER BY doc_freq DESC, shingle LIMIT 20
         """,
         # the PPM payloads are solid-color images whose dims/colors are pure
         # arithmetic in doc_id — decoding real bytes must recover them exactly

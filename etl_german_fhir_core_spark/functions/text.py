@@ -128,6 +128,22 @@ def doc_fingerprint(col: Column | str) -> Column:
     return F.xxhash64(F.lower(normalize_text(c)))
 
 
+def redact_pii(col: Column | str) -> Column:
+    """Training-data PII scrub: replace URLs, email addresses, and phone-number
+    shapes with typed placeholders — the standard pre-training redaction pass.
+    Pure chained regexp_replace (JVM-side, codegen'd; patterns stick to the
+    regex subset Java and RE2 share, so the same chain is oracle-expressible).
+    URL runs first: an address embedded in a URL must collapse into <URL>, not
+    leave a mangled half-link behind."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"https?://[^\s]+", "<URL>")
+    c = F.regexp_replace(
+        c, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"
+    )
+    c = F.regexp_replace(c, r"\+?[0-9][0-9\- ]{7,}[0-9]", "<PHONE>")
+    return c
+
+
 def normalize_turns(
     df: DataFrame,
     text_col: str = "text",

@@ -469,6 +469,104 @@ def simhash_pairs(
     )
 
 
+def ngram_contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark-contamination check — the train/eval hygiene pass every
+    pre-training pipeline needs: for each document, the fraction of its distinct
+    word n-grams that also occur anywhere in ``benchmark`` (the held-out eval
+    corpus). Output: (doc, n_shingles, n_contaminated, contamination_rate).
+
+    Scale shape: the benchmark shingle set is tiny relative to a training corpus
+    (an eval suite is MBs against TBs), so it broadcasts and the corpus-side
+    shingles stream through a broadcast LEFT join — one corpus shuffle for the
+    per-doc aggregate, no benchmark-side skew. Set
+    ``broadcast_benchmark=False`` for a benchmark too large to broadcast (falls
+    back to a shuffle join)."""
+    sh = _shingle_rows(df, id_col, text_col, n)
+    bench = (
+        _shingle_rows(benchmark, id_col, text_col, n)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    marked = sh.join(bench, "shingle", "left")
+    return (
+        marked.groupBy("doc")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("_hit").alias("n_contaminated"),  # non-null = benchmark hit
+        )
+        .withColumn(
+            "contamination_rate",
+            F.round(F.col("n_contaminated") / F.col("n_shingles"), 6),
+        )
+    )
+
+
+def chunk_exact_dupes(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_words: int = 10,
+    min_dupes: int = 2,
+) -> DataFrame:
+    """Sub-document exact dedup: split each normalized document into fixed-width
+    word chunks and find chunks repeated across the corpus — the
+    paragraph/boilerplate-level pass that document-level dedup misses (shared
+    footers, license blocks, templated spans). Output: (chunk, keep_id,
+    n_dupes) for every chunk occurring ≥ ``min_dupes`` times.
+
+    The chunk text is built by slicing the token array per chunk index
+    (sequence + explode + slice — all codegen'd; no collect_list whose order
+    would be nondeterministic), then one hash-agg on the chunk. At corpus scale
+    group on ``xxhash64(chunk)`` instead of the raw string for constant-width
+    shuffle keys — same trade documented on dedup_exact."""
+    toks = F.split(F.lower(normalize_text(F.col(text_col))), " ")
+    base = df.select(F.col(id_col).alias("doc"), toks.alias("_w"))
+    n_chunks = F.ceil(F.size("_w") / F.lit(chunk_words)).cast("int")
+    chunks = base.select(
+        "doc",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("_ci"),
+        "_w",
+    ).select(
+        "doc",
+        F.concat_ws(
+            " ", F.slice("_w", F.col("_ci") * chunk_words + 1, chunk_words)
+        ).alias("chunk"),
+    )
+    return (
+        chunks.groupBy("chunk")
+        .agg(F.min("doc").alias("keep_id"), F.count("*").alias("n_dupes"))
+        .filter(F.col("n_dupes") >= min_dupes)
+    )
+
+
+def top_ngrams(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 20
+) -> DataFrame:
+    """Corpus n-gram document-frequency statistics: the ``k`` distinct word
+    n-grams appearing in the most documents (ties broken lexicographically —
+    deterministic top-k). The boilerplate-discovery / stop-shingle-selection
+    companion to ``ngram_jaccard_pairs``'s ``max_df`` knob: its output IS the
+    evidence for choosing that cap. One hash-agg + a global top-k (Spark runs
+    ORDER BY+LIMIT as per-partition TakeOrdered — no full sort)."""
+    sh = _shingle_rows(df, id_col, text_col, n)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("shingle"))
+        .limit(k)
+    )
+
+
 def dedup_clusters_star(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     """Connected components via alternating LARGE-STAR / SMALL-STAR contraction —
     the O(log n)-round algorithm (public MapReduce formulation: Kiveris et al.,

@@ -12,6 +12,7 @@ from etl_german_fhir_core_spark.functions.text import (
     normalize_text,
     prefix_key,
     quality_score,
+    redact_pii,
     token_count,
 )
 
@@ -56,6 +57,25 @@ def test_quality_score_bounds(spark):
     for t in ["a good plain sentence with the usual words", "!!!???...", "x", ""]:
         v = _one(spark, t, quality_score("text"))
         assert 0.0 <= v <= 1.0
+
+
+def test_redact_pii(spark):
+    # each PII class → its typed placeholder; surrounding text untouched
+    assert _one(spark, "mail me at jo.doe+x@my-site.org thanks", redact_pii("text")) \
+        == "mail me at <EMAIL> thanks"
+    assert _one(spark, "see https://a.example/p?q=1#f and more", redact_pii("text")) \
+        == "see <URL> and more"
+    assert _one(spark, "call +49 151 1234-5678 now", redact_pii("text")) \
+        == "call <PHONE> now"
+    # an email embedded in a URL collapses into the URL placeholder (order rule)
+    assert _one(spark, "x http://ex.com/mailto/a@b.cc y", redact_pii("text")) \
+        == "x <URL> y"
+    # global replacement: every occurrence, not just the first
+    assert _one(spark, "a@b.cc then c@d.ee", redact_pii("text")) \
+        == "<EMAIL> then <EMAIL>"
+    # clean text passes through unchanged; short digit runs are not phones
+    assert _one(spark, "turn 12 of 30 looks fine", redact_pii("text")) \
+        == "turn 12 of 30 looks fine"
 
 
 def test_doc_fingerprint_normalization_invariance(spark):

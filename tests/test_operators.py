@@ -386,6 +386,52 @@ def test_rest_paged_scan(spark):
     assert {r["res_id"] for r in again.collect()} == set(rows)
 
 
+def test_corpus_hygiene_ops(spark):
+    """Contamination check, chunk-level exact dedup, and top-ngram stats on a
+    hand corpus with known answers."""
+    from etl_german_fhir_core_spark.operators.dedup import (
+        chunk_exact_dupes,
+        ngram_contamination,
+        top_ngrams,
+    )
+
+    # contamination: doc 10 IS the benchmark doc; doc 11 half-overlaps it
+    docs = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta"),
+            (11, "alpha beta gamma delta other words here now"),
+            (12, "totally disjoint content with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.filter(F.col("doc_id") == 10)
+    train = docs.filter(F.col("doc_id") != 10)
+    got = {
+        r["doc"]: (r["n_shingles"], r["n_contaminated"])
+        for r in ngram_contamination(train, bench, "doc_id", "text", n=4).collect()
+    }
+    # doc 11 has 5 distinct 4-grams; exactly 1 ('alpha beta gamma delta') is in bench
+    assert got[11] == (5, 1)
+    assert got[12][1] == 0
+
+    # chunk dedup: a repeated 4-word chunk across docs is found; uniques are not
+    cd = spark.createDataFrame(
+        [
+            (1, "shared footer legal text unique one content a"),
+            (2, "shared footer legal text unique two content b"),
+        ],
+        "doc_id long, text string",
+    )
+    chunks = {r["chunk"]: (r["keep_id"], r["n_dupes"])
+              for r in chunk_exact_dupes(cd, "doc_id", "text", chunk_words=4).collect()}
+    assert chunks == {"shared footer legal text": (1, 2)}
+
+    # top ngrams: deterministic (doc_freq desc, shingle asc) head
+    tg = top_ngrams(docs, "doc_id", "text", n=3, k=2).collect()
+    assert [r["shingle"] for r in tg] == ["alpha beta gamma", "beta gamma delta"]
+    assert [r["doc_freq"] for r in tg] == [2, 2]
+
+
 def test_ppm_codec_real_pixels(spark):
     """VERDICT r03 missing #2: PPM (P6) payloads run the decode → feature →
     resize path on REAL pixel bytes with the pure-numpy codec — roundtrip
