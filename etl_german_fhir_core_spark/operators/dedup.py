@@ -383,32 +383,30 @@ def _simhash_candidates(
             F.shiftrightunsigned(F.col("simhash"), offset).bitwiseAND(F.lit(mask))
         )
         offset += width
-    # ONE exploded (doc, key) frame for all tables — table id is folded into the
-    # 64-bit key hash, so a single equi self-join covers every combination
-    # (cross-table hash collisions are 2^-64 noise the exact verify removes)
+    # ONE exploded (doc, simhash, key) frame for all tables — table id is folded
+    # into the 64-bit key hash, so a single equi self-join covers every
+    # combination (cross-table hash collisions are 2^-64 noise the exact verify
+    # removes). The FULL signature rides through the join (8 bytes/row), so the
+    # Hamming pre-filter ``bit_count(xor) ≤ d`` runs INSIDE the join's output
+    # stage — block-collision pairs die map-side, before any exchange. Ordering
+    # matters at narrow block widths: filtering after a distinct meant the
+    # distinct shuffled the raw ~N²/2^w join output (measured 125 s at 40k docs,
+    # d=12); filter-then-distinct leaves only Hamming-ball pairs for the
+    # distinct (≈ true duplicates).
     keys = [
         F.xxhash64(F.lit(t), *[block_bits[i] for i in combo])
         for t, combo in enumerate(combos)
     ]
-    buckets = sigs.select("doc", F.explode(F.array(*keys)).alias("_k"))
+    buckets = sigs.select("doc", "simhash", F.explode(F.array(*keys)).alias("_k"))
     x, y = buckets.alias("x"), buckets.alias("y")
-    cand = (
+    return (
         x.join(y, (F.col("x._k") == F.col("y._k")) & (F.col("x.doc") < F.col("y.doc")))
+        .filter(
+            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
+            <= F.lit(max_hamming)
+        )
         .select(F.col("x.doc").alias("id1"), F.col("y.doc").alias("id2"))
         .distinct()
-    )
-    # Hamming pre-filter: pure JVM bit math on two longs per candidate — cuts
-    # block-collision false positives by orders of magnitude before any shingle
-    # is computed (VERDICT r03 next #1)
-    s1 = sigs.select(F.col("doc").alias("id1"), F.col("simhash").alias("_s1"))
-    s2 = sigs.select(F.col("doc").alias("id2"), F.col("simhash").alias("_s2"))
-    return (
-        cand.join(s1, "id1")
-        .join(s2, "id2")
-        .filter(
-            F.bit_count(F.col("_s1").bitwiseXOR(F.col("_s2"))) <= F.lit(max_hamming)
-        )
-        .select("id1", "id2")
     )
 
 
