@@ -166,13 +166,26 @@ def run_headline() -> dict:
         big.write.mode("overwrite").parquet(f"{probe_dir}/docs")
         big = spark.read.parquet(f"{probe_dir}/docs")
         probe = {"dedup_probe_docs": big.count()}
-        t0 = time.time()
-        _materialize(ngram_jaccard_pairs(big, "doc_id", "text", n=3, threshold=0.5))
-        probe["dedup_probe_jaccard_sec"] = round(time.time() - t0, 3)
-        t0 = time.time()
-        _materialize(minhash_lsh_pairs(big, "doc_id", "text", n=3, num_hashes=32,
-                                       bands=8, verify_threshold=0.5))
-        probe["dedup_probe_minhash_sec"] = round(time.time() - t0, 3)
+
+        def _timed(fn, reps: int = 2) -> float:
+            # min-of-reps for probes too: single-shot probes caught stall
+            # bursts (29.9 s for a 7 s minhash run) that misread as operator
+            # behavior; rep 1 also pays worker/JIT spin-up
+            best = None
+            for _ in range(reps):
+                t0 = time.time()
+                _materialize(fn())
+                dt_ = time.time() - t0
+                best = dt_ if best is None else min(best, dt_)
+            return round(best, 3)
+
+        probe["dedup_probe_jaccard_sec"] = _timed(
+            lambda: ngram_jaccard_pairs(big, "doc_id", "text", n=3, threshold=0.5)
+        )
+        probe["dedup_probe_minhash_sec"] = _timed(
+            lambda: minhash_lsh_pairs(big, "doc_id", "text", n=3, num_hashes=32,
+                                      bands=8, verify_threshold=0.5)
+        )
 
         # simhash candidate-volume probe (VERDICT r03 #1 done-criterion): at the
         # entry-query radius (d=12), the Hamming-prefiltered candidate count
@@ -196,10 +209,10 @@ def run_headline() -> dict:
             big, "doc_id", "text", n=3, max_hamming=12
         ).count()
         probe["simhash_cand_sec"] = round(time.time() - t0, 3)
-        t0 = time.time()
-        _materialize(simhash_pairs(big, "doc_id", "text", n=3, max_hamming=12,
-                                   verify_threshold=0.5))
-        probe["dedup_probe_simhash_sec"] = round(time.time() - t0, 3)
+        probe["dedup_probe_simhash_sec"] = _timed(
+            lambda: simhash_pairs(big, "doc_id", "text", n=3, max_hamming=12,
+                                  verify_threshold=0.5)
+        )
 
         # max_df stop-shingle guard probe (VERDICT r02 #7): a boilerplate-heavy
         # corpus (every doc shares a footer) makes the uncapped shingle self-join
@@ -248,18 +261,6 @@ def run_headline() -> dict:
         # AND shuffles corpus x 100 scored rows through the ranking window.
         qv = bige.filter(F.col("vec_id") < 100)
         probe["sim_probe_vecs"] = bige.count()
-
-        def _timed(fn, reps: int = 2) -> float:
-            # min-of-reps: rep 1 pays Python-worker/JIT spin-up, which at this
-            # corpus size rivals the kernel itself — same noise defense as the
-            # CDC replay probe
-            best = None
-            for _ in range(reps):
-                t0 = time.time()
-                _materialize(fn())
-                dt_ = time.time() - t0
-                best = dt_ if best is None else min(best, dt_)
-            return round(best, 3)
 
         probe["sim_probe_numpy_kernel_sec"] = _timed(
             lambda: cosine_topk_bruteforce(bige, qv, k=10)

@@ -515,6 +515,7 @@ def chunk_exact_dupes(
     text_col: str,
     chunk_words: int = 10,
     min_dupes: int = 2,
+    use_fingerprint: bool = False,
 ) -> DataFrame:
     """Sub-document exact dedup: split each normalized document into fixed-width
     word chunks and find chunks repeated across the corpus — the
@@ -524,9 +525,10 @@ def chunk_exact_dupes(
 
     The chunk text is built by slicing the token array per chunk index
     (sequence + explode + slice — all codegen'd; no collect_list whose order
-    would be nondeterministic), then one hash-agg on the chunk. At corpus scale
-    group on ``xxhash64(chunk)`` instead of the raw string for constant-width
-    shuffle keys — same trade documented on dedup_exact."""
+    would be nondeterministic), then one hash-agg on the chunk.
+    ``use_fingerprint=True`` groups on ``xxhash64(chunk)`` instead of the raw
+    string — constant-width shuffle keys, the 100 TB path (same trade as
+    dedup_exact); the string key is the oracle-friendly default."""
     toks = F.split(F.lower(normalize_text(F.col(text_col))), " ")
     base = df.select(F.col(id_col).alias("doc"), toks.alias("_w"))
     n_chunks = F.ceil(F.size("_w") / F.lit(chunk_words)).cast("int")
@@ -540,11 +542,13 @@ def chunk_exact_dupes(
             " ", F.slice("_w", F.col("_ci") * chunk_words + 1, chunk_words)
         ).alias("chunk"),
     )
-    return (
-        chunks.groupBy("chunk")
+    key = F.xxhash64("chunk").alias("chunk_key") if use_fingerprint else F.col("chunk")
+    grouped = (
+        chunks.groupBy(key)
         .agg(F.min("doc").alias("keep_id"), F.count("*").alias("n_dupes"))
         .filter(F.col("n_dupes") >= min_dupes)
     )
+    return grouped
 
 
 def top_ngrams(
