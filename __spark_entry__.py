@@ -152,6 +152,42 @@ def q_cdc_lineage_rollup(spark, sf_dir):
     )
 
 
+def q_cdc_snapshot_diff(spark, sf_dir):
+    """Incremental snapshot diff (SnapshotTable.changes_between — the Delta-CDF
+    / Iceberg incremental-read analog, manifest-pruned to changed buckets): a
+    REAL table is built in-query by merging the feed's first half (snapshot A)
+    then the rest (snapshot B); the emitted change batch (op I/U/D + key +
+    payload + winner lsn) must equal the set difference of the two LWW states —
+    which the oracle computes directly from the feed with window functions.
+    Exercises the actual table/manifest code path, not a DataFrame re-derivation."""
+    import tempfile
+
+    from pyspark.sql import types as T2
+
+    from etl_german_fhir_core_spark.lake import SnapshotTable
+
+    feed = _feed(spark, sf_dir)
+    mid = feed.agg(F.max("lsn")).collect()[0][0] // 2
+    schema = T2.StructType([
+        T2.StructField("conv_id", T2.StringType(), False),
+        T2.StructField("turn_idx", T2.IntegerType(), False),
+        T2.StructField("role", T2.StringType(), True),
+        T2.StructField("text", T2.StringType(), True),
+        T2.StructField("ts", feed.schema["ts"].dataType, True),
+    ])
+    root = tempfile.mkdtemp(prefix="diff_tbl_")  # leaked until /tmp GC: the
+    # returned frame reads these files lazily, so no cleanup before collect
+    tbl = SnapshotTable.create(spark, f"{root}/t", schema,
+                               ["conv_id", "turn_idx"], num_buckets=8)
+    tbl.merge(feed.filter(F.col("lsn") <= mid), epoch_id="a")
+    s1 = tbl.current_snapshot_id()
+    tbl.merge(feed.filter(F.col("lsn") > mid), epoch_id="b")
+    s2 = tbl.current_snapshot_id()
+    return tbl.changes_between(s1, s2).select(
+        "op", "conv_id", "turn_idx", "role", "text", "ts", "lsn"
+    )
+
+
 # --------------------------------------------------------------------------- mappers
 
 def q_mapper_normalize_project(spark, sf_dir):
@@ -1039,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_epoch_window_scan": q_cdc_epoch_window_scan,
         "cdc_conflict_stats": q_cdc_conflict_stats,
         "cdc_lineage_rollup": q_cdc_lineage_rollup,
+        "cdc_snapshot_diff": q_cdc_snapshot_diff,
         "cdc_rollup_final_state": q_cdc_rollup_final_state,
         "mapper_normalize_project": q_mapper_normalize_project,
         "mapper_validity_filter": q_mapper_validity_filter,
@@ -1143,6 +1180,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT op, COUNT(*) AS n, MIN(lsn) AS lo_lsn, MAX(lsn) AS hi_lsn,
                    COUNT(DISTINCT conv_id) AS n_convs
             FROM feed GROUP BY op
+        """,
+        # diff of the two LWW live states (winner lsn detects replacement) —
+        # exactly what changes_between must emit from the real table/manifests
+        "cdc_snapshot_diff": _FEED_CTE
+        + """
+            , wa AS (
+              SELECT conv_id, turn_idx, role, text, ts, lsn FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                                             ORDER BY ts DESC, lsn DESC) AS rn
+                FROM feed WHERE lsn <= (SELECT MAX(lsn) // 2 FROM feed)
+              ) WHERE rn = 1 AND op <> 'D'
+            ), wb AS (
+              SELECT conv_id, turn_idx, role, text, ts, lsn FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                                             ORDER BY ts DESC, lsn DESC) AS rn
+                FROM feed
+              ) WHERE rn = 1 AND op <> 'D'
+            )
+            SELECT CASE WHEN a.conv_id IS NULL THEN 'I'
+                        WHEN b.conv_id IS NULL THEN 'D'
+                        WHEN a.lsn <> b.lsn THEN 'U' END AS op,
+                   COALESCE(a.conv_id, b.conv_id) AS conv_id,
+                   COALESCE(a.turn_idx, b.turn_idx) AS turn_idx,
+                   CASE WHEN b.conv_id IS NULL THEN a.role ELSE b.role END AS role,
+                   CASE WHEN b.conv_id IS NULL THEN a.text ELSE b.text END AS text,
+                   CASE WHEN b.conv_id IS NULL THEN a.ts ELSE b.ts END AS ts,
+                   CASE WHEN b.conv_id IS NULL THEN a.lsn ELSE b.lsn END AS lsn
+            FROM wa a FULL OUTER JOIN wb b
+              ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+            WHERE a.conv_id IS NULL OR b.conv_id IS NULL OR a.lsn <> b.lsn
         """,
         "cdc_rollup_final_state": _FEED_CTE
         + """

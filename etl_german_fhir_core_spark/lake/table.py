@@ -796,6 +796,69 @@ class SnapshotTable:
         return MergeResult(epoch_id=str(epoch_id), touched_buckets=touched,
                            snapshot_id=sid)
 
+    def changes_between(self, from_snapshot: int, to_snapshot: int) -> DataFrame:
+        """Incremental snapshot diff — the Delta CDF / Iceberg incremental-read
+        analog (reference analog: the date-windowed incremental re-read,
+        TaskConfiguration.java:225-247): the change rows (``op`` 'I'/'U'/'D' +
+        key + payload + ``lsn``) that transform live snapshot ``from_snapshot``
+        into ``to_snapshot``. Downstream consumers (a derived table, an export,
+        a cache) re-sync by applying this batch instead of re-reading the table.
+
+        Scale shape: MANIFEST-pruned — two tiny JSON reads decide which buckets
+        changed (file lists differ), and only those buckets are scanned at
+        either snapshot; a micro-batch window that touched 1% of buckets diffs
+        ~1% of the table. The diff itself is one full-outer join hash-partitioned
+        on the key. Row change detection is ``_lsn`` equality: the LWW merge
+        rewrites a key's winner (with the winning event's lsn) whenever it
+        changes, so equal lsn ⇔ unchanged row — no payload-wide comparison."""
+        ma, mb = self.manifest(from_snapshot), self.manifest(to_snapshot)
+        if ma["key_cols"] != mb["key_cols"]:
+            raise ValueError("snapshots have different key columns")
+        key_cols = mb["key_cols"]
+        changed = sorted(
+            int(b)
+            for b in set(ma["files"]) | set(mb["files"])
+            if ma["files"].get(str(b)) != mb["files"].get(str(b))
+        )
+        payload = [
+            f.name
+            for f in T.StructType.fromJson(mb["schema"])
+            if f.name not in META_COLS and f.name not in key_cols
+        ]
+
+        def _live(sid: int, tag: str) -> DataFrame:
+            df = self.read(snapshot_id=sid, buckets=changed, include_meta=True)
+            df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+            cols = [*key_cols, F.col(LSN_COL).alias(f"_lsn_{tag}")]
+            cols += [F.col(c).alias(f"{c}_{tag}") for c in payload if c in df.columns]
+            return df.select(*cols).withColumn(f"_in_{tag}", F.lit(True))
+
+        a, b = _live(from_snapshot, "a"), _live(to_snapshot, "b")
+        j = a.join(b, on=key_cols, how="full_outer")
+        op = (
+            F.when(F.col("_in_a").isNull(), F.lit("I"))
+            .when(F.col("_in_b").isNull(), F.lit("D"))
+            .when(F.col("_lsn_a") != F.col("_lsn_b"), F.lit("U"))
+        )
+        out_cols = [op.alias("op"), *key_cols]
+        # D rows carry the OLD payload (what was removed); I/U carry the new.
+        # A column added by schema evolution after snapshot A has no _a side —
+        # null-fill it (additive-evolution read semantics).
+        def _side(c: str, tag: str):
+            name = f"{c}_{tag}"
+            return F.col(name) if name in j.columns else F.lit(None)
+
+        out_cols += [
+            F.when(F.col("_in_b").isNull(), _side(c, "a"))
+            .otherwise(_side(c, "b"))
+            .alias(c)
+            for c in payload
+        ]
+        out_cols.append(
+            F.coalesce(F.col("_lsn_b"), F.col("_lsn_a")).alias("lsn")
+        )
+        return j.select(*out_cols).filter(F.col("op").isNotNull())
+
     def commit_epoch_marker(self, epoch_id: str) -> MergeResult:
         """Commit a NO-OP snapshot that only records ``epoch_id`` in the ledger —
         data files and schema unchanged. Used when a scheduled maintenance pass

@@ -314,3 +314,58 @@ def test_snapshot_isolation_and_time_travel(spark, tmp_path):
     removed = tbl.vacuum()
     assert removed >= 1
     assert [r["text"] for r in tbl.read().collect()] == ["v2"]
+
+
+def test_changes_between_snapshots(spark, tmp_path):
+    """Incremental snapshot diff (Delta-CDF analog): the change batch between
+    two snapshots must exactly transform the older live state into the newer
+    one — inserts, LWW-replaced updates, tombstone deletes — and must be
+    manifest-pruned to buckets whose file lists actually changed."""
+    tbl = SnapshotTable.create(
+        spark, str(tmp_path / "t"), _schema(), ["conv_id", "turn_idx"], num_buckets=8
+    )
+    tbl.merge(
+        _batch(spark, [
+            ("I", 1, "cA", 0, "user", "a0", TS0),
+            ("I", 2, "cA", 1, "user", "a1", TS0),
+            ("I", 3, "cB", 0, "user", "b0", TS0),
+        ]),
+        epoch_id="1",
+    )
+    s1 = tbl.current_snapshot_id()
+    tbl.merge(
+        _batch(spark, [
+            ("U", 11, "cA", 1, "user", "a1-v2", TS0 + dt.timedelta(seconds=9)),
+            ("D", 12, "cB", 0, None, None, TS0 + dt.timedelta(seconds=9)),
+            ("I", 13, "cC", 0, "user", "c0", TS0 + dt.timedelta(seconds=9)),
+        ]),
+        epoch_id="2",
+    )
+    tbl.merge(
+        _batch(spark, [("I", 21, "cD", 0, "user", "d0", TS0 + dt.timedelta(seconds=20))]),
+        epoch_id="3",
+    )
+    s3 = tbl.current_snapshot_id()
+
+    changes = {
+        (r["conv_id"], r["turn_idx"]): (r["op"], r["text"], r["lsn"])
+        for r in tbl.changes_between(s1, s3).collect()
+    }
+    assert changes == {
+        ("cA", 1): ("U", "a1-v2", 11),
+        ("cB", 0): ("D", "b0", 3),   # D carries the removed row's payload/lsn
+        ("cC", 0): ("I", "c0", 13),
+        ("cD", 0): ("I", "d0", 21),
+    }
+    # unchanged key (cA, 0) is absent — and applying the diff reproduces state B
+    old = {(r["conv_id"], r["turn_idx"]): r["text"]
+           for r in tbl.read(snapshot_id=s1).collect()}
+    for (k, t), (op, text, _lsn) in changes.items():
+        if op == "D":
+            old.pop((k, t))
+        else:
+            old[(k, t)] = text
+    assert old == _state(tbl)
+
+    # self-diff is empty; a diff spanning no changed buckets reads nothing
+    assert tbl.changes_between(s3, s3).count() == 0
