@@ -98,9 +98,17 @@ class SnapshotTable:
         num_buckets: int = 16,
         order_cols: list[str] | None = None,
         files_per_bucket: int = 1,
+        stats_cols: list[str] | None = None,
     ) -> "SnapshotTable":
         """Create an empty table (snapshot 0). ``order_cols`` is the LWW total order
-        (default ``[ts, _lsn]``) — must be total or replays diverge (SURVEY §7.3)."""
+        (default ``[ts, _lsn]``) — must be total or replays diverge (SURVEY §7.3).
+
+        ``stats_cols`` (opt-in) lists columns whose per-bucket [min, max] are
+        maintained in every manifest — Iceberg-manifest-style data skipping:
+        ``read_range`` prunes whole buckets from a time/number-window scan
+        without opening a single data file. Costs one narrow aggregate over the
+        STAGED (touched-bucket) data per commit; leave unset for write-hot
+        tables (the engine's default epoch path tracks nothing)."""
         os.makedirs(os.path.join(root, MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(root, DATA_DIR), exist_ok=True)
         tbl = cls(spark, root)
@@ -130,8 +138,13 @@ class SnapshotTable:
             "order_cols": order_cols or ["ts", LSN_COL],
             "num_buckets": num_buckets,
             "files": {},
+            "stats": {},
             "committed_epochs": [],
-            "properties": {"format-version": "1", "files_per_bucket": files_per_bucket},
+            "properties": {
+                "format-version": "1",
+                "files_per_bucket": files_per_bucket,
+                "stats_cols": list(stats_cols or []),
+            },
         }
         tbl._write_manifest(manifest)
         return tbl
@@ -322,6 +335,92 @@ class SnapshotTable:
             out.setdefault(bucket, []).append(rel)
         return out
 
+    # ------------------------------------------------------------- column stats
+
+    @staticmethod
+    def _stat_ser(v):
+        """JSON-encode a stats bound (datetime/date → ISO string; numbers/strings
+        pass through)."""
+        import datetime as _dt
+
+        return v.isoformat() if isinstance(v, (_dt.datetime, _dt.date)) else v
+
+    @staticmethod
+    def _stat_val(stored, like):
+        """Decode a stored stats bound into ``like``'s comparison domain."""
+        import datetime as _dt
+
+        if isinstance(stored, str) and isinstance(like, _dt.datetime):
+            return _dt.datetime.fromisoformat(stored)
+        if isinstance(stored, str) and isinstance(like, _dt.date):
+            return _dt.date.fromisoformat(stored)
+        return stored
+
+    def _merged_stats(self, m: dict, touched: list[int], staged: dict) -> dict:
+        """Per-bucket [min, max] of the table's ``stats_cols`` after a commit:
+        touched buckets get fresh bounds from ONE narrow aggregate over the
+        staged data (only the stat columns + the partition column are read);
+        untouched buckets keep their existing bounds — the Iceberg-manifest
+        data-skipping model. No-op (returns the old dict) when the table tracks
+        nothing."""
+        cols = m.get("properties", {}).get("stats_cols") or []
+        stats = dict(m.get("stats", {}))
+        if not cols:
+            return stats
+        for b in map(str, touched):
+            stats.pop(b, None)  # bucket may have emptied
+        paths = [p for fs in staged.values() for p in fs]
+        if not paths:
+            return stats
+        stage_rel = paths[0].split("/" + BUCKET_COL + "=")[0]
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+        rows = (
+            self.spark.read.parquet(self._abs(stage_rel))
+            .groupBy(BUCKET_COL)
+            .agg(*aggs)
+            .collect()
+        )
+        for r in rows:
+            stats[str(r[BUCKET_COL])] = {
+                c: [self._stat_ser(r[f"_mn_{c}"]), self._stat_ser(r[f"_mx_{c}"])]
+                for c in cols
+            }
+        return stats
+
+    def _range_buckets(self, col: str, lo, hi) -> list[int] | None:
+        """Buckets whose [min, max] for ``col`` overlaps [lo, hi] — the
+        manifest-level skip decision. None (= read everything) when the column
+        is untracked; a bucket with NULL bounds is conservatively kept."""
+        m = self.manifest()
+        if col not in (m.get("properties", {}).get("stats_cols") or []):
+            return None
+        stats = m.get("stats", {})
+        keep = []
+        for b in m["files"]:
+            s = stats.get(b, {}).get(col)
+            if s is not None and s[0] is not None and s[1] is not None:
+                mn, mx = self._stat_val(s[0], lo), self._stat_val(s[1], hi)
+                if mx < lo or mn > hi:
+                    continue
+            keep.append(int(b))
+        return sorted(keep)
+
+    def read_range(self, col: str, lo, hi, include_meta: bool = False) -> DataFrame:
+        """Window read with MANIFEST-level data skipping: buckets whose tracked
+        [min, max] for ``col`` cannot intersect [lo, hi] are never opened (no
+        file listing, no footer read — the skip decision is a dict lookup in the
+        snapshot JSON), then the residual filter pushes into the Parquet scan of
+        the surviving buckets as usual. The Iceberg manifest-stats analog of the
+        reference's date-range incremental reads (TaskConfiguration.java:225-247)."""
+        buckets = self._range_buckets(col, lo, hi)
+        dt = self.schema()[col].dataType
+        df = self.read(buckets=buckets, include_meta=include_meta)
+        return df.filter(
+            (F.col(col) >= F.lit(lo).cast(dt)) & (F.col(col) <= F.lit(hi).cast(dt))
+        )
+
     # Iceberg-compatible safe type promotions (spec: int→long, float→double,
     # decimal scale-preserving widening — we support the two primitive ones)
     _WIDENINGS = {
@@ -500,6 +599,7 @@ class SnapshotTable:
             "epoch_id": epoch_id,
             "schema": json.loads(new_schema.json()),
             "files": files,
+            "stats": self._merged_stats(m, touched, staged),
             "committed_epochs": m["committed_epochs"] + [epoch_id],
         }
         sid = self._write_manifest(new_manifest)
@@ -571,6 +671,7 @@ class SnapshotTable:
             "parent_id": m["snapshot_id"],
             "epoch_id": epoch_id,
             "files": files,
+            "stats": self._merged_stats(m, touched, staged),
             "committed_epochs": m["committed_epochs"] + [epoch_id],
         }
         sid = self._write_manifest(new_manifest)
@@ -637,6 +738,7 @@ class SnapshotTable:
             "parent_id": m["snapshot_id"],
             "epoch_id": epoch_id,
             "files": files,
+            "stats": self._merged_stats(m, touched, staged),
             "committed_epochs": m["committed_epochs"] + [epoch_id],
         })
         return MergeResult(epoch_id=epoch_id, touched_buckets=touched, snapshot_id=sid)
@@ -754,6 +856,7 @@ class SnapshotTable:
             "epoch_id": str(epoch_id),
             "schema": json.loads(new_schema.json()),
             "files": {b: fs for b, fs in staged.items()},
+            "stats": self._merged_stats({**m, "stats": {}}, touched, staged),
             "committed_epochs": [str(epoch_id)],
         }
         sid = self._write_manifest(new_manifest)
@@ -790,6 +893,7 @@ class SnapshotTable:
             "parent_id": m["snapshot_id"],
             "epoch_id": str(epoch_id),
             "files": files,
+            "stats": self._merged_stats(m, touched, staged),
             "committed_epochs": m["committed_epochs"] + [str(epoch_id)],
         }
         sid = self._write_manifest(new_manifest)

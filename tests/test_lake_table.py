@@ -369,3 +369,52 @@ def test_changes_between_snapshots(spark, tmp_path):
 
     # self-diff is empty; a diff spanning no changed buckets reads nothing
     assert tbl.changes_between(s3, s3).count() == 0
+
+
+def test_column_stats_pruned_range_read(spark, tmp_path):
+    """Manifest column stats (opt-in stats_cols): every commit maintains
+    per-bucket [min, max]; read_range must skip buckets that cannot intersect
+    the window (a dict lookup — no file opened) and still return exactly the
+    rows a full-scan filter would."""
+    from etl_german_fhir_core_spark.lake.table import _bucket_expr
+
+    tbl = SnapshotTable.create(
+        spark, str(tmp_path / "t"), _schema(), ["conv_id", "turn_idx"],
+        num_buckets=8, stats_cols=["ts"],
+    )
+    rows = [
+        ("I", i + 1, f"conv-{i}", 0, "user", f"t{i}", TS0 + dt.timedelta(days=i))
+        for i in range(20)
+    ]
+    tbl.merge(_batch(spark, rows), epoch_id="1")
+
+    m = tbl.manifest()
+    assert m["stats"] and all("ts" in s for s in m["stats"].values())
+
+    lo, hi = TS0, TS0 + dt.timedelta(days=2)
+    pruned = tbl._range_buckets("ts", lo, hi)
+    nonempty = {int(b) for b, fs in m["files"].items() if fs}
+    # expected: the buckets of conv-0..conv-2 (the in-window rows)
+    conv_bucket = {
+        r["conv_id"]: r["b"]
+        for r in spark.createDataFrame(
+            [(f"conv-{i}",) for i in range(20)], "conv_id string"
+        ).select("conv_id", _bucket_expr("conv_id", 8).alias("b")).collect()
+    }
+    needed = {conv_bucket[f"conv-{i}"] for i in range(3)}
+    assert needed <= set(pruned)            # never skips a bucket it needs
+    assert set(pruned) < nonempty           # actually skips something
+    got = {r["conv_id"] for r in tbl.read_range("ts", lo, hi).collect()}
+    assert got == {"conv-0", "conv-1", "conv-2"}
+
+    # stats stay correct across a bucket-rewriting commit (scoped delete)
+    tbl.delete_where(
+        F.col("conv_id") == "conv-0", epoch_id="del",
+        buckets=[conv_bucket["conv-0"]],
+    )
+    got2 = {r["conv_id"] for r in tbl.read_range("ts", lo, hi).collect()}
+    assert got2 == {"conv-1", "conv-2"}
+
+    # untracked column → no pruning decision, plain filtered read
+    assert tbl._range_buckets("text", "a", "z") is None
+    assert tbl.read_range("text", "t5", "t5").count() == 1
