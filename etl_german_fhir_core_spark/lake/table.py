@@ -986,11 +986,22 @@ class SnapshotTable:
 
     # ---------------------------------------------------------------- maintenance
 
-    def compact(self, epoch_id: str, target_buckets: list[int] | None = None) -> MergeResult:
+    def compact(
+        self,
+        epoch_id: str,
+        target_buckets: list[int] | None = None,
+        sort_cols: list[str] | None = None,
+    ) -> MergeResult:
         """Rewrite each (selected) bucket's files into one file per bucket — the
         small-file compaction a CoW table needs after many salted multi-file writes
         (Iceberg's rewrite_data_files analog). Content-preserving: tombstones and
-        meta columns ride along unchanged. Idempotent per epoch_id."""
+        meta columns ride along unchanged. Idempotent per epoch_id.
+
+        ``sort_cols`` sorts rows WITHIN each bucket file (default: the table's
+        key columns) — Iceberg's sort-order rewrite: Parquet writes row-group
+        min/max on sorted columns, so a key-point or key-range filter skips
+        whole row groups inside the (already bucket-pruned) file. Pass [] to
+        skip sorting."""
         epoch_id = str(epoch_id)
         m = self.manifest()
         if epoch_id in set(m["committed_epochs"]):
@@ -1007,9 +1018,12 @@ class SnapshotTable:
         )
         # bypass salted staging: exactly one task (and file) per bucket
         stage_rel = os.path.join(DATA_DIR, uuid.uuid4().hex)
+        shuffled = rows.repartition(len(touched), BUCKET_COL)
+        sort_by = self.key_cols() if sort_cols is None else list(sort_cols)
+        if sort_by:
+            shuffled = shuffled.sortWithinPartitions(BUCKET_COL, *sort_by)
         (
-            rows.repartition(len(touched), BUCKET_COL)
-            .write.partitionBy(BUCKET_COL)
+            shuffled.write.partitionBy(BUCKET_COL)
             .mode("overwrite")
             .parquet(self._abs(stage_rel))
         )

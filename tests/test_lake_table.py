@@ -418,3 +418,29 @@ def test_column_stats_pruned_range_read(spark, tmp_path):
     # untracked column → no pruning decision, plain filtered read
     assert tbl._range_buckets("text", "a", "z") is None
     assert tbl.read_range("text", "t5", "t5").count() == 1
+
+
+def test_compact_sorts_within_bucket(spark, tmp_path):
+    """Compaction rewrites each bucket ordered by the table key (Iceberg
+    sort-order rewrite): Parquet row-group min/max on the sorted key then lets
+    key filters skip row groups inside the bucket file. Content-preserving."""
+    tbl = SnapshotTable.create(
+        spark, str(tmp_path / "t"), _schema(), ["conv_id", "turn_idx"],
+        num_buckets=2, files_per_bucket=4,
+    )
+    rows = [("I", i + 1, f"c{(i * 7) % 20}", i % 5, "user", f"t{i}", TS0)
+            for i in range(200)]
+    tbl.merge(_batch(spark, rows), epoch_id="1")
+    before = sorted(_state(tbl).items())
+
+    tbl.compact(epoch_id="c1")
+    m = tbl.manifest()
+    assert all(len(fs) <= 1 for fs in m["files"].values())
+    for fs in m["files"].values():
+        for rel in fs:
+            got = [
+                (r["conv_id"], r["turn_idx"])
+                for r in spark.read.parquet(str(tmp_path / "t" / rel)).collect()
+            ]
+            assert got == sorted(got)  # physically sorted within the file
+    assert sorted(_state(tbl).items()) == before
