@@ -92,3 +92,61 @@ def test_lww_state_matches_oracle_on_random_feeds(_spark, tmp_path_factory, even
     )
     expect = replay_oracle(feed.toPandas())[["conv_id", "turn_idx", "text", "ts"]]
     pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
+@given(events=events_strategy, split=st.integers(1, 23))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_changes_between_transforms_a_into_b(_spark, tmp_path_factory, events, split):
+    """Property: for ANY event sequence cut at ANY point, applying the emitted
+    snapshot diff (changes_between) to live state A reproduces live state B —
+    inserts/updates/deletes classified correctly under ties, tombstones, and
+    out-of-order arrival; unchanged keys never appear in the diff."""
+    spark = _spark
+    rows = [
+        (
+            i + 1, op, conv, turn,
+            None if op == "D" else "user",
+            None if op == "D" else text,
+            None, TS0 + dt.timedelta(seconds=ts_off),
+        )
+        for i, (conv, turn, op, ts_off, text) in enumerate(events)
+    ]
+    feed = spark.createDataFrame(
+        rows,
+        "lsn long, op string, conv_id string, turn_idx int, role string, "
+        "text string, tool string, ts timestamp",
+    )
+    tmp = tmp_path_factory.mktemp("prop_diff")
+    tbl = SnapshotTable.create(
+        spark, str(tmp / "tbl"), SCHEMA, ["conv_id", "turn_idx"], num_buckets=2
+    )
+    split = min(split, len(rows))
+    tbl.merge(feed.filter(feed.lsn <= split), epoch_id="a")
+    s1 = tbl.current_snapshot_id()
+    state_a = {
+        (r["conv_id"], r["turn_idx"]): r["text"] for r in tbl.read().collect()
+    }
+    if feed.filter(feed.lsn > split).count() > 0:
+        tbl.merge(feed.filter(feed.lsn > split), epoch_id="b")
+    s2 = tbl.current_snapshot_id()
+    state_b = {
+        (r["conv_id"], r["turn_idx"]): r["text"] for r in tbl.read().collect()
+    }
+
+    derived = dict(state_a)
+    for r in tbl.changes_between(s1, s2).collect():
+        k = (r["conv_id"], r["turn_idx"])
+        if r["op"] == "D":
+            assert k in state_a and k not in state_b
+            derived.pop(k)
+        elif r["op"] == "I":
+            assert k not in state_a
+            derived[k] = r["text"]
+        else:  # U
+            assert k in state_a and k in state_b
+            derived[k] = r["text"]
+    assert derived == state_b
