@@ -900,7 +900,9 @@ class SnapshotTable:
         return MergeResult(epoch_id=str(epoch_id), touched_buckets=touched,
                            snapshot_id=sid)
 
-    def changes_between(self, from_snapshot: int, to_snapshot: int) -> DataFrame:
+    def changes_between(
+        self, from_snapshot: int, to_snapshot: int, emit_preimage: bool = False
+    ) -> DataFrame:
         """Incremental snapshot diff — the Delta CDF / Iceberg incremental-read
         analog (reference analog: the date-windowed incremental re-read,
         TaskConfiguration.java:225-247): the change rows (``op`` 'I'/'U'/'D' +
@@ -914,7 +916,13 @@ class SnapshotTable:
         ~1% of the table. The diff itself is one full-outer join hash-partitioned
         on the key. Row change detection is ``_lsn`` equality: the LWW merge
         rewrites a key's winner (with the winning event's lsn) whenever it
-        changes, so equal lsn ⇔ unchanged row — no payload-wide comparison."""
+        changes, so equal lsn ⇔ unchanged row — no payload-wide comparison.
+
+        ``emit_preimage=True`` additionally emits a ``U_pre`` row per update
+        carrying the REPLACED payload/lsn (Delta CDF's
+        update_preimage/update_postimage pair) — for consumers that must
+        retract the old value (e.g. a delta-maintained aggregate), not just
+        apply the new one."""
         ma, mb = self.manifest(from_snapshot), self.manifest(to_snapshot)
         if ma["key_cols"] != mb["key_cols"]:
             raise ValueError("snapshots have different key columns")
@@ -961,7 +969,23 @@ class SnapshotTable:
         out_cols.append(
             F.coalesce(F.col("_lsn_b"), F.col("_lsn_a")).alias("lsn")
         )
-        return j.select(*out_cols).filter(F.col("op").isNotNull())
+        out = j.select(*out_cols).filter(F.col("op").isNotNull())
+        if not emit_preimage:
+            return out
+        pre = (
+            j.filter(
+                F.col("_in_a").isNotNull()
+                & F.col("_in_b").isNotNull()
+                & (F.col("_lsn_a") != F.col("_lsn_b"))
+            )
+            .select(
+                F.lit("U_pre").alias("op"),
+                *key_cols,
+                *[_side(c, "a").alias(c) for c in payload],
+                F.col("_lsn_a").alias("lsn"),
+            )
+        )
+        return out.unionByName(pre)
 
     def commit_epoch_marker(self, epoch_id: str) -> MergeResult:
         """Commit a NO-OP snapshot that only records ``epoch_id`` in the ledger —

@@ -444,3 +444,36 @@ def test_compact_sorts_within_bucket(spark, tmp_path):
             ]
             assert got == sorted(got)  # physically sorted within the file
     assert sorted(_state(tbl).items()) == before
+
+
+def test_changes_between_schema_evolution_and_preimage(spark, tmp_path):
+    """Snapshot diff across an additive schema evolution: a column that did not
+    exist at snapshot A null-fills on the old side; emit_preimage adds the
+    Delta-CDF-style U_pre row carrying the replaced payload/lsn."""
+    tbl = SnapshotTable.create(
+        spark, str(tmp_path / "t"), _schema(), ["conv_id", "turn_idx"], num_buckets=4
+    )
+    tbl.merge(
+        _batch(spark, [("I", 1, "cA", 0, "user", "v1", TS0)]), epoch_id="1"
+    )
+    s1 = tbl.current_snapshot_id()
+    # epoch 2 evolves the schema (tool column) AND replaces the row
+    tbl.merge(
+        _batch(
+            spark,
+            [("U", 2, "cA", 0, "user", "v2", TS0 + dt.timedelta(seconds=5), "bash")],
+            with_tool=True,
+        ),
+        epoch_id="2",
+    )
+    s2 = tbl.current_snapshot_id()
+
+    rows = {r["op"]: r for r in tbl.changes_between(s1, s2, emit_preimage=True).collect()}
+    assert set(rows) == {"U", "U_pre"}
+    assert (rows["U"]["text"], rows["U"]["tool"], rows["U"]["lsn"]) == ("v2", "bash", 2)
+    # pre-image: the replaced payload; 'tool' predates snapshot A → null-filled
+    assert (rows["U_pre"]["text"], rows["U_pre"]["tool"], rows["U_pre"]["lsn"]) == (
+        "v1", None, 1,
+    )
+    # default mode stays postimage-only
+    assert [r["op"] for r in tbl.changes_between(s1, s2).collect()] == ["U"]
