@@ -185,11 +185,22 @@ class CdcEngine:
 
     def plan_epochs(self) -> list[tuple[str, int, int]]:
         """Split the feed's LSN span into fixed-width half-open ranges. Driver-side
-        min/max scan only (parquet footer stats make this cheap)."""
+        min/max scan only (parquet footer stats make this cheap).
+
+        Bulk→incremental handoff: a table bootstrapped by ``overwrite`` carries
+        ``properties.bootstrap_hi_lsn`` in its manifest — planning starts
+        strictly AFTER that offset, so the engine never re-merges history the
+        bulk load already covers (reference entry point 2 → 1, SURVEY §3.2).
+        The offset is manifest-persisted, so a resumed run plans the identical
+        epoch sequence."""
         lo, hi = self.feed().agg(F.min("lsn"), F.max("lsn")).collect()[0]
         if lo is None:
             return []
-        epochs, start, i = [], lo - 1, 1
+        boot = self.table.manifest().get("properties", {}).get("bootstrap_hi_lsn")
+        start = lo - 1
+        if boot is not None:
+            start = max(start, int(boot))
+        epochs, i = [], 1
         while start < hi:
             end = min(start + self.epoch_rows, hi)
             epochs.append((f"e{i:06d}", start, end))

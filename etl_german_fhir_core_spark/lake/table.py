@@ -824,11 +824,22 @@ class SnapshotTable:
 
     # ---------------------------------------------------------------- bulk paths
 
-    def overwrite(self, df: DataFrame, epoch_id: str = "bulk") -> MergeResult:
+    def overwrite(
+        self, df: DataFrame, epoch_id: str = "bulk", hi_lsn: int | None = None
+    ) -> MergeResult:
         """Truncate-and-reload (reference bulk mode, PatientStepListener.java:77-84):
         replace all data with a LWW-compacted snapshot of ``df`` (same batch columns
-        as merge). Epoch ledger resets — a bulk load supersedes incremental history."""
+        as merge). Epoch ledger resets — a bulk load supersedes incremental history.
+
+        The batch's max lsn (or an explicit ``hi_lsn``) is recorded as
+        ``properties.bootstrap_hi_lsn`` — the bulk→incremental HANDOFF contract
+        (reference entry point 2 → 1, SURVEY §3.2): CdcEngine.plan_epochs
+        resumes the feed strictly AFTER this offset instead of re-merging
+        history the bulk load already covers. Persisted in the manifest, so the
+        handoff point survives kill-and-resume like any other offset."""
         m = self.manifest()
+        if hi_lsn is None:
+            hi_lsn = df.agg(F.max("lsn")).collect()[0][0]
         key_cols, B = m["key_cols"], m["num_buckets"]
         order_cols = [c for c in m["order_cols"] if c != LSN_COL]
         df = df.withColumn(LSN_COL, F.col("lsn").cast("long"))
@@ -840,10 +851,14 @@ class SnapshotTable:
             *[F.col(c).desc_nulls_last() for c in order_cols],
             F.col(LSN_COL).desc_nulls_last(),
         )
+        # D-winners are RETAINED as hidden tombstones, same as the merge path:
+        # a bulk load that physically dropped them would let a late incremental
+        # event with an older (ts, lsn) resurrect a bulk-deleted key after the
+        # bulk→incremental handoff (the LWW retention invariant, CLAUDE.md)
         compacted = (
             df.withColumn("_rn", F.row_number().over(w))
-            .filter((F.col("_rn") == 1) & (F.col("op") != "D"))
-            .withColumn(DELETED_COL, F.lit(False))
+            .filter(F.col("_rn") == 1)
+            .withColumn(DELETED_COL, F.col("op") == "D")
             .withColumn(BUCKET_COL, _bucket_expr(key_cols[0], B))
             .select(*[f.name for f in new_schema], BUCKET_COL)
         )
@@ -858,6 +873,10 @@ class SnapshotTable:
             "files": {b: fs for b, fs in staged.items()},
             "stats": self._merged_stats({**m, "stats": {}}, touched, staged),
             "committed_epochs": [str(epoch_id)],
+            "properties": {
+                **m.get("properties", {}),
+                "bootstrap_hi_lsn": int(hi_lsn) if hi_lsn is not None else None,
+            },
         }
         sid = self._write_manifest(new_manifest)
         return MergeResult(epoch_id=str(epoch_id), touched_buckets=touched,

@@ -174,6 +174,47 @@ def test_skew_hot_conversation(spark, tmp_path):
     assert sum(len(v) for v in m["files"].values()) >= 1
 
 
+def test_bulk_load_then_incremental_handoff(spark, tmp_path):
+    """Reference entry point 2 → 1 (SURVEY §3.2): a bulk overwrite records its
+    max lsn as the bootstrap offset; the engine then plans epochs strictly
+    AFTER it — no re-merge of bulk-covered history — and converges to the same
+    final state as a pure incremental run. The handoff survives restart
+    (offset lives in the manifest)."""
+    feed_path = str(tmp_path / "feed")
+    _mk_feed(spark, feed_path, n_events=3000)
+    feed = spark.read.parquet(feed_path)
+    mid = feed.agg(F.max("lsn")).collect()[0][0] // 2
+
+    # pure incremental baseline (normalize=False: bulk path doesn't normalize)
+    eng_b = _mk_engine(spark, feed_path, str(tmp_path / "tbl_inc"), normalize=False)
+    eng_b.run()
+
+    # bulk load first half, then incremental over the SAME full feed
+    tbl = SnapshotTable.create(
+        spark, str(tmp_path / "tbl_bulk"), TARGET_SCHEMA,
+        ["conv_id", "turn_idx"], num_buckets=8,
+    )
+    tbl.overwrite(feed.filter(F.col("lsn") <= mid), epoch_id="bulk")
+    assert tbl.manifest()["properties"]["bootstrap_hi_lsn"] == mid
+    eng = CdcEngine(spark, feed_path, tbl, epoch_rows=1000, normalize=False)
+    plan = eng.plan_epochs()
+    assert plan and all(lo >= mid for _eid, lo, _hi in plan)  # no bulk re-merge
+    eng.run()
+
+    pd.testing.assert_frame_equal(
+        _final_state(tbl), _final_state(eng_b.table), check_dtype=False
+    )
+
+    # restart: planning is identical (offset persisted) and replay is a no-op
+    eng2 = CdcEngine(spark, feed_path, SnapshotTable.load(spark, str(tmp_path / "tbl_bulk")),
+                     epoch_rows=1000, normalize=False)
+    assert eng2.plan_epochs() == plan
+    sid = tbl.current_snapshot_id()
+    res = eng2.run()
+    assert all(r.skipped_commit for r in res)
+    assert SnapshotTable.load(spark, str(tmp_path / "tbl_bulk")).current_snapshot_id() == sid
+
+
 def test_retry_queue_late_references(spark, tmp_path):
     """Events for turn_idx>0 arriving before their conversation's turn 0 are parked
     and drained once the anchor lands (J6 analog)."""

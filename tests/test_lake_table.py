@@ -477,3 +477,34 @@ def test_changes_between_schema_evolution_and_preimage(spark, tmp_path):
     )
     # default mode stays postimage-only
     assert [r["op"] for r in tbl.changes_between(s1, s2).collect()] == ["U"]
+
+
+def test_overwrite_retains_tombstones(spark, tmp_path):
+    """Bulk load keeps D-winners as hidden tombstones (same retention invariant
+    as merge): after the bulk→incremental handoff, a late event OLDER than the
+    bulk-covered delete must stay suppressed, while a newer one applies."""
+    tbl = SnapshotTable.create(
+        spark, str(tmp_path / "t"), _schema(), ["conv_id", "turn_idx"], num_buckets=2
+    )
+    bulk = _batch(spark, [
+        ("I", 1, "c1", 0, "user", "x", TS0),
+        ("D", 2, "c1", 0, None, None, TS0 + dt.timedelta(seconds=10)),
+        ("I", 3, "c2", 0, "user", "y", TS0),
+    ])
+    tbl.overwrite(bulk, epoch_id="bulk")
+    assert _state(tbl) == {("c2", 0): "y"}
+    meta = tbl.read(include_meta=True)
+    assert meta.filter(F.coalesce(F.col("_deleted"), F.lit(False))).count() == 1
+
+    # late event OLDER than the bulk delete: suppressed by the retained tombstone
+    tbl.merge(
+        _batch(spark, [("U", 9, "c1", 0, "user", "stale", TS0 + dt.timedelta(seconds=5))]),
+        epoch_id="e1",
+    )
+    assert _state(tbl) == {("c2", 0): "y"}
+    # genuinely newer event re-creates the key
+    tbl.merge(
+        _batch(spark, [("U", 10, "c1", 0, "user", "new", TS0 + dt.timedelta(seconds=60))]),
+        epoch_id="e2",
+    )
+    assert _state(tbl) == {("c2", 0): "y", ("c1", 0): "new"}
