@@ -1131,20 +1131,34 @@ class SnapshotTable:
             return self.commit_epoch_marker(epoch_id)
         return self.delete_where(pred, epoch_id=epoch_id, buckets=candidates)
 
-    def vacuum(self) -> int:
-        """Delete data files not referenced by the current snapshot (orphans from
-        crashed stages / superseded snapshots). Returns count removed. Destroys time
-        travel to older snapshots, like Iceberg's expire_snapshots.
+    def vacuum(self, keep_last: int = 1) -> int:
+        """Delete data files not referenced by the ``keep_last`` most recent
+        snapshots (orphans from crashed stages / files superseded beyond the
+        retention window). Returns count removed. Iceberg's expire_snapshots
+        retention model: time travel to the retained snapshots keeps working;
+        older snapshots' unshared files are reclaimed (their manifests remain
+        but may dangle — ``read(snapshot_id=...)`` past the window is undefined,
+        same as Iceberg after expiry). ``keep_last=1`` is the aggressive default
+        (current snapshot only); incremental-diff consumers that lag N commits
+        behind should vacuum with ``keep_last > N`` so changes_between's older
+        endpoint stays readable.
 
         Orphan collection is inherently a LISTING operation (so is Iceberg's
         remove_orphan_files) — object stores support listing, just slowly; this
         POSIX walk is the local implementation of that maintenance pass and is
         never on the commit hot path (which is listing-free: _staged_files +
         PUT-IF-ABSENT)."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
         live = set()
-        m = self.manifest()
-        for fs in m["files"].values():
-            live.update(fs)
+        sid = self.current_snapshot_id()
+        seen = 0
+        while sid is not None and seen < keep_last:
+            m = self.manifest(sid)
+            for fs in m["files"].values():
+                live.update(fs)
+            sid = m.get("parent_id")
+            seen += 1
         removed = 0
         data_abs = self._abs(DATA_DIR)
         for dirpath, _dirnames, filenames in os.walk(data_abs):

@@ -508,3 +508,35 @@ def test_overwrite_retains_tombstones(spark, tmp_path):
         epoch_id="e2",
     )
     assert _state(tbl) == {("c2", 0): "y", ("c1", 0): "new"}
+
+
+def test_vacuum_snapshot_retention(spark, tmp_path):
+    """vacuum(keep_last=N): the N most recent snapshots stay fully readable
+    (time travel + changes_between across them); files only older snapshots
+    referenced are reclaimed."""
+    tbl = SnapshotTable.create(
+        spark, str(tmp_path / "t"), _schema(), ["conv_id", "turn_idx"], num_buckets=2
+    )
+    for i in range(3):
+        tbl.merge(
+            _batch(spark, [("U", i + 1, "c1", 0, "user", f"v{i}", TS0 + dt.timedelta(seconds=i))]),
+            epoch_id=str(i + 1),
+        )
+    s1, s2, s3 = (tbl.current_snapshot_id() - 2, tbl.current_snapshot_id() - 1,
+                  tbl.current_snapshot_id())
+
+    tbl.vacuum(keep_last=2)
+    # retained window fully readable: current and its parent
+    assert {r["text"] for r in tbl.read(snapshot_id=s3).collect()} == {"v2"}
+    assert {r["text"] for r in tbl.read(snapshot_id=s2).collect()} == {"v1"}
+    diff = tbl.changes_between(s2, s3).collect()
+    assert [(r["op"], r["text"]) for r in diff] == [("U", "v2")]
+    # beyond the window: that snapshot's unshared file is gone
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        tbl.read(snapshot_id=s1).collect()
+
+    # keep_last=1 then reclaims the rest; current still intact
+    tbl.vacuum(keep_last=1)
+    assert {r["text"] for r in tbl.read().collect()} == {"v2"}
