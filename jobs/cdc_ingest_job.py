@@ -38,6 +38,11 @@ def main() -> None:
     ap.add_argument("--compact-every", type=int, default=None,
                     help="rewrite multi-file buckets to one file every k-th epoch")
     ap.add_argument("--max-epochs", type=int, default=None)
+    ap.add_argument("--bulk-until-lsn", type=int, default=None,
+                    help="bootstrap a FRESH table by bulk-overwriting the feed "
+                         "slice lsn <= N first (reference bulk mode); the engine "
+                         "then resumes incrementally strictly after that offset "
+                         "(bootstrap_hi_lsn handoff, persisted in the manifest)")
     ap.add_argument("--gen-only", action="store_true",
                     help="only synthesize the feed, then exit (keeps bench runs "
                          "unpolluted by generation-phase JVM state)")
@@ -86,6 +91,18 @@ def main() -> None:
         tbl = SnapshotTable.create(
             spark, args.table, schema, ["conv_id", "turn_idx"], num_buckets=args.num_buckets
         )
+        if args.bulk_until_lsn is not None:
+            from pyspark.sql import functions as F
+
+            from etl_german_fhir_core_spark.functions.text import normalize_turns
+
+            # same per-turn mapper pipeline the incremental engine applies to
+            # winners — bulk-loaded and incrementally-merged rows must be
+            # byte-identical for the same events (table-state equivalence)
+            bulk = normalize_turns(
+                spark.read.parquet(args.feed).filter(F.col("lsn") <= args.bulk_until_lsn)
+            )
+            tbl.overwrite(bulk, epoch_id="bulk")
 
     rollups = []
     if args.rollup:
