@@ -348,22 +348,38 @@ def lsh_ann_topk(
     k: int = 10,
     bits: int = 6,
     seed: int = 42,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: equi-join on LSH bucket, exact cosine rerank within bucket.
-    Recall improves with multiple tables (union over seeds) — single-table here;
-    callers union seeds for higher recall. With ``bits=0`` every row shares one
-    bucket and the result equals brute force (oracle configuration)."""
-    bucket = lsh_bucket_udf(dim, bits, seed) if bits > 0 else None
+    """Approximate top-k: equi-join on LSH bucket, exact cosine rerank within
+    bucket. ``n_tables`` is the recall knob (the classic multi-table LSH
+    construction): each table hashes with independent deterministic hyperplanes,
+    candidates are pairs sharing ANY table's bucket (explode + one equi-join,
+    same shape as minhash bands — never n_tables separate joins), and a pair
+    that collides in several tables is deduplicated BEFORE the exact cosine so
+    it is scored once. With ``bits=0`` every row shares one bucket and the
+    result equals brute force (oracle configuration)."""
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-    if bucket is not None:
-        c = c.withColumn("_b", bucket(F.col("_cv")))
-        q = q.withColumn("_b", bucket(F.col("_qv")))
+    if bits > 0:
+        # per-table buckets in one pass; table id folded into the join key
+        def _tabs(col):
+            return F.array(*[
+                F.xxhash64(
+                    F.lit(t), lsh_bucket_udf(dim, bits, seed + 7919 * t)(col)
+                )
+                for t in range(max(n_tables, 1))
+            ])
+
+        c = c.select("neighbor_id", "_cv", F.explode(_tabs(F.col("_cv"))).alias("_b"))
+        q = q.select("query_id", "_qv", F.explode(_tabs(F.col("_qv"))).alias("_b"))
     else:
         c, q = c.withColumn("_b", F.lit(0)), q.withColumn("_b", F.lit(0))
-    scored = c.join(F.broadcast(q), "_b").where(
-        F.col("query_id") != F.col("neighbor_id")
-    ).select(
+    cand = (
+        c.join(F.broadcast(q), "_b")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
         "query_id", "neighbor_id", _cos_pd(F.col("_qv"), F.col("_cv")).alias("sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))

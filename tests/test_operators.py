@@ -227,6 +227,31 @@ def test_cosine_topk_and_lsh_ann(spark):
         cosine_topk_bruteforce(emb, emb, k=3, max_queries=5)
 
 
+def test_lsh_multi_table_recall(spark):
+    """Multi-table LSH is the recall knob: independent hyperplane tables union
+    their candidates (deduped before the exact cosine). On this corpus a single
+    4-bit table misses neighbors across bucket boundaries; 2+ tables recover
+    the exact top-3 — and results are deterministic (hash-derived planes)."""
+    import math
+
+    vecs = [(i, [math.cos(i * math.pi / 40), math.sin(i * math.pi / 40), 0.0, 0.0])
+            for i in range(40)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id").isin(0, 10, 25))
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk_bruteforce(emb, q, k=3).collect()}
+
+    def recall(nt: int) -> float:
+        got = {(r["query_id"], r["neighbor_id"])
+               for r in lsh_ann_topk(emb, q, dim=4, k=3, bits=4, n_tables=nt).collect()}
+        return len(got & exact) / len(exact)
+
+    r1, r4 = recall(1), recall(4)
+    assert r1 < 1.0          # single narrow table demonstrably misses
+    assert r4 == 1.0         # multi-probe recovers the exact neighbor set
+    assert recall(4) == r4   # deterministic across invocations
+
+
 def test_ivf_ann_recall(spark):
     """IVF with enough probes must recover the exact top-3 on a structured corpus."""
     import math
