@@ -106,3 +106,104 @@ def streaming_lww_state(feed_stream: DataFrame):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+DEDUP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("first_id", T.LongType(), True),
+        T.StructField("first_ts_us", T.LongType(), True),
+    ]
+)
+
+DEDUP_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("fingerprint", T.LongType(), False),
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("ts_us", T.LongType(), True),
+    ]
+)
+
+
+def _make_first_seen_update(ttl_ms: int | None):
+    """Build the per-fingerprint reducer (ttl captured by CLOSURE — a module
+    function attribute would not survive pickling to executors): emit the FIRST
+    document carrying this content fingerprint (min (ts, doc_id) within the
+    batch for determinism under within-batch ties); later arrivals are
+    duplicates and emit nothing. State expires on EVENT-time timeout — set to
+    (first ts + TTL) against the watermark, never wall clock, so replays are
+    bit-identical."""
+
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (fp,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            for _ in pdfs:  # drain: all duplicates
+                pass
+            return
+        best = None
+        for pdf in pdfs:
+            pdf = pdf.assign(_ts_us=pdf["ts"].astype("int64") // 1000)
+            top = pdf.sort_values(["_ts_us", "doc_id"], kind="mergesort").iloc[0]
+            cand = (int(top["_ts_us"]), int(top["doc_id"]))
+            if best is None or cand < best:
+                best = cand
+        if best is None:
+            return
+        ts_us, doc_id = best
+        state.update((doc_id, ts_us))
+        if ttl_ms is not None:
+            # event-time TTL: expire once the watermark passes first_ts + ttl
+            state.setTimeoutTimestamp(ts_us // 1000 + ttl_ms)
+        yield pd.DataFrame([{"fingerprint": fp, "doc_id": doc_id, "ts_us": ts_us}])
+
+    return _update
+
+
+def streaming_dedup_first_seen(
+    doc_stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    ttl_seconds: int | None = None,
+    watermark: str = "10 minutes",
+):
+    """Streaming exact dedup — the ``dropDuplicatesWithinWatermark`` analog with
+    an explicit content key: each document's normalized-text xxhash64
+    fingerprint keys per-fingerprint state; only the FIRST occurrence is
+    emitted, duplicates are swallowed. ``ttl_seconds`` bounds state size (the
+    100 TB concern: unbounded fingerprint state grows with corpus cardinality):
+    a fingerprint's state expires once the EVENT-TIME watermark passes its first
+    occurrence + TTL — data-derived, no wall clock, so a checkpoint replay
+    deduplicates identically. After expiry a re-occurrence is treated as new
+    (the same retention contract as tombstone expiry, CLAUDE.md)."""
+    from pyspark.sql import functions as F
+
+    from etl_german_fhir_core_spark.functions.text import normalize_text
+
+    update_fn = _make_first_seen_update(
+        ttl_seconds * 1000 if ttl_seconds is not None else None
+    )
+    keyed = (
+        doc_stream.withWatermark(ts_col, watermark)
+        .select(
+            F.xxhash64(F.lower(normalize_text(F.col(text_col)))).alias("_fp"),
+            F.col(id_col).alias("doc_id"),
+            F.col(ts_col).alias("ts"),
+        )
+    )
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout
+        if ttl_seconds is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return keyed.groupBy("_fp").applyInPandasWithState(
+        update_fn,
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
