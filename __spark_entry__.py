@@ -1593,7 +1593,7 @@ def oracle_sql() -> dict[str, str]:
                        'https?://[^\\s]+', '<URL>', 'g'),
                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+',
                        '<EMAIL>', 'g'),
-                       '\\+?[0-9][0-9\\- ]{7,}[0-9]', '<PHONE>', 'g') AS text
+                       '(\\+[0-9][0-9\\- ]{5,14}[0-9])|(\\([0-9]{2,5}\\)[\\- ]?[0-9][0-9\\- ]{3,12}[0-9])|([0-9]{2,5}(-[0-9]{2,6}){1,4})', '<PHONE>', 'g') AS text
             FROM documents
         """,
         "text_contamination": f"""

@@ -140,7 +140,17 @@ def redact_pii(col: Column | str) -> Column:
     c = F.regexp_replace(
         c, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"
     )
-    c = F.regexp_replace(c, r"\+?[0-9][0-9\- ]{7,}[0-9]", "<PHONE>")
+    # Phone shapes must carry phone STRUCTURE — a leading +, a (area) code, or
+    # dash separators — not just "9+ digits with spaces": the old \+?[0-9][0-9\- ]{7,}
+    # pattern also swallowed legitimate numerics like '10 000 000' and long IDs
+    # (ADVICE r04 low). Space-only digit runs without +/( are number formatting.
+    c = F.regexp_replace(
+        c,
+        r"(\+[0-9][0-9\- ]{5,14}[0-9])"
+        r"|(\([0-9]{2,5}\)[\- ]?[0-9][0-9\- ]{3,12}[0-9])"
+        r"|([0-9]{2,5}(-[0-9]{2,6}){1,4})",
+        "<PHONE>",
+    )
     return c
 
 

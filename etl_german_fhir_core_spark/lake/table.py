@@ -838,11 +838,18 @@ class SnapshotTable:
         history the bulk load already covers. Persisted in the manifest, so the
         handoff point survives kill-and-resume like any other offset."""
         m = self.manifest()
-        if hi_lsn is None:
-            hi_lsn = df.agg(F.max("lsn")).collect()[0][0]
         key_cols, B = m["key_cols"], m["num_buckets"]
         order_cols = [c for c in m["order_cols"] if c != LSN_COL]
         df = df.withColumn(LSN_COL, F.col("lsn").cast("long"))
+        lsn_obs = None
+        if hi_lsn is None:
+            # the handoff offset rides on the staging write itself (Observation
+            # BEFORE the LWW winner filter, so it sees every consumed event, not
+            # just winners): one evaluation of the input, so a non-deterministic
+            # frame cannot record an offset that disagrees with the staged rows
+            # (ADVICE r04 low — the old separate df.agg(max) was a second pass).
+            lsn_obs = Observation("overwrite-hi-lsn")
+            df = df.observe(lsn_obs, F.max(LSN_COL).alias("hi"))
         payload_schema = T.StructType(
             [f for f in df.schema if f.name not in ("op", "lsn")]
         )
@@ -864,6 +871,8 @@ class SnapshotTable:
         )
         touched = list(range(B))
         staged = self._stage_buckets(compacted, touched)
+        if lsn_obs is not None:
+            hi_lsn = lsn_obs.get["hi"]
         new_manifest = {
             **m,
             "snapshot_id": m["snapshot_id"] + 1,

@@ -356,6 +356,12 @@ def _simhash_table_plan(
             )
     else:
         feasible = [g for g in range(1, 9) if comb(d + g, g) <= max_tables]
+        if not feasible:
+            raise ValueError(
+                f"no block-combination plan fits max_hamming={d}: even g=1 needs "
+                f"C({d + 1},1)={d + 1} candidate tables > max_tables={max_tables}; "
+                "raise max_tables or lower max_hamming"
+            )
         wide = [g for g in feasible if g * (64 // (d + g)) >= 16]
         g = wide[0] if wide else max(feasible, key=lambda gg: gg * (64 // (d + gg)))
     k = d + g

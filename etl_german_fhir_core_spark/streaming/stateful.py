@@ -188,7 +188,12 @@ def streaming_dedup_first_seen(
         ttl_seconds * 1000 if ttl_seconds is not None else None
     )
     keyed = (
-        doc_stream.withWatermark(ts_col, watermark)
+        # drop null event times BEFORE keying: a NaT would int64-cast to
+        # INT64_MIN in the reducer, win 'first seen', and set a negative
+        # event-time timeout (ADVICE r04 low). A row with no event time has no
+        # position under the watermark contract anyway.
+        doc_stream.filter(F.col(ts_col).isNotNull())
+        .withWatermark(ts_col, watermark)
         .select(
             F.xxhash64(F.lower(normalize_text(F.col(text_col)))).alias("_fp"),
             F.col(id_col).alias("doc_id"),

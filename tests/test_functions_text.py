@@ -76,6 +76,15 @@ def test_redact_pii(spark):
     # clean text passes through unchanged; short digit runs are not phones
     assert _one(spark, "turn 12 of 30 looks fine", redact_pii("text")) \
         == "turn 12 of 30 looks fine"
+    # dash-separated national form is a phone
+    assert _one(spark, "ring 0151-234-5678 ok", redact_pii("text")) \
+        == "ring <PHONE> ok"
+    # space-grouped numerics / long IDs carry no phone structure (+, parens,
+    # or dashes) and must survive unredacted (ADVICE r04: over-redaction)
+    assert _one(spark, "about 10 000 000 tokens", redact_pii("text")) \
+        == "about 10 000 000 tokens"
+    assert _one(spark, "order id 123456789012 shipped", redact_pii("text")) \
+        == "order id 123456789012 shipped"
 
 
 def test_doc_fingerprint_normalization_invariance(spark):
