@@ -30,7 +30,12 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from etl_german_fhir_core_spark.functions.text import validity_filter
-from etl_german_fhir_core_spark.lake.table import BUCKET_COL, SnapshotTable, _bucket_expr
+from etl_german_fhir_core_spark.lake.table import (
+    BUCKET_COL,
+    SnapshotTable,
+    _bucket_expr,
+    _family_index,
+)
 
 LINEAGE_SCHEMA = (
     "epoch_id string, partition_id int, lo_lsn long, hi_lsn long, "
@@ -263,6 +268,7 @@ class CdcEngine:
             self._maybe_expire(batch, epoch_id)
             self._maybe_compact(epoch_id)
             cleanup_retry()
+            self._settle_epoch(epoch_id)
             return res
 
         # Per-bucket offset stats: a NARROW scan (lsn + leading key only — Parquet
@@ -311,7 +317,21 @@ class CdcEngine:
 
         if self.lineage_path:
             self._write_lineage(epoch_id, res.lo_lsn, res.hi_lsn, per_bucket, res)
+        self._settle_epoch(epoch_id)
         return res
+
+    def _settle_epoch(self, epoch_id: str) -> None:
+        """This epoch's ENTIRE processing (main merge, projections, cascades,
+        rollups, maintenance markers, queue GC, lineage) is complete — advance
+        the bounded-ledger watermark on every table this engine commits to.
+        Epochs are processed in plan order (plan_epochs / contiguous streaming
+        batch ids), which is the mark_settled contract: the watermark never
+        passes an epoch whose derived commits are still pending. Folded into
+        each table's next commit; a crash before that commit just leaves the
+        tail longer until resume re-settles."""
+        self.table.mark_settled(epoch_id)
+        for spec in (*self.rollups, *self.cascades, *self.projections):
+            spec.table.mark_settled(epoch_id)
 
     def _effective_batch(self, batch: DataFrame, epoch_id: str, replay: bool):
         """THE frame the main merge applies — validity gate, dead-letter split,
@@ -459,9 +479,20 @@ class CdcEngine:
 
     def run(self, max_epochs: int | None = None) -> list[EpochResult]:
         """Run all (remaining) epochs in LSN order. ``max_epochs`` caps how many are
-        *processed* this call — the kill-and-resume test's kill switch."""
+        *processed* this call — the kill-and-resume test's kill switch.
+
+        Resume cost is O(unsettled), not O(history): epochs at or below the
+        manifest's settled watermark are skipped OUTRIGHT (settled = main merge
+        AND every derived commit complete, so there is nothing to re-apply);
+        only the unsettled gap — committed main but possibly-incomplete derived
+        — takes the replay path through apply_epoch."""
         out, done = [], 0
+        through = self.table.epochs_through()
         for epoch_id, lo, hi in self.plan_epochs():
+            fam, idx = _family_index(epoch_id)
+            if fam is not None and idx is not None and idx <= through.get(fam, -1):
+                self.table.mark_settled(epoch_id)  # re-arm in-memory watermark
+                continue
             r = self.apply_epoch(epoch_id, lo, hi)
             out.append(r)
             if not r.skipped_commit:

@@ -105,10 +105,18 @@ def test_kill_and_resume_bit_identical(spark, tmp_path):
     # only in the table manifest — the Spring Batch ExecutionContext analog)
     eng_b1 = _mk_engine(spark, feed_path, str(tmp_path / "tbl_b"))
     eng_b1.run(max_epochs=2)
-    assert len(eng_b1.table.committed_epochs()) == 2
+    # both epochs are committed; the bounded ledger has SETTLED e000001 (its
+    # watermark folded into e000002's commit), so the explicit tail holds only
+    # the last, not-yet-folded epoch
+    assert eng_b1.table.has_epoch("e000001") and eng_b1.table.has_epoch("e000002")
+    assert eng_b1.table.committed_epochs() == ["e000002"]
+    assert eng_b1.table.epochs_through() == {"e": 1}
     eng_b2 = _mk_engine(spark, feed_path, str(tmp_path / "tbl_b"))
     resumed = eng_b2.run()
-    assert sum(1 for r in resumed if r.skipped_commit) == 2
+    # resume is O(unsettled): settled e000001 is skipped outright (not even a
+    # replay entry); only the unsettled e000002 takes the replay path
+    assert sum(1 for r in resumed if r.skipped_commit) == 1
+    assert [r.epoch_id for r in resumed][0] == "e000002"
 
     a = _final_state(eng_a.table)
     b = _final_state(eng_b2.table)
@@ -150,7 +158,9 @@ def test_schema_evolution_mid_stream(spark, tmp_path):
     # engine skips the two committed pre-evolution epochs
     eng2 = CdcEngine(spark, feed_v2, SnapshotTable.load(spark, root), epoch_rows=1000)
     results = eng2.run()
-    assert sum(1 for r in results if r.skipped_commit) == 2
+    # e000001 was settled (folded at e000002's commit) → skipped outright;
+    # unsettled e000002 takes the replay (skipped_commit) path
+    assert sum(1 for r in results if r.skipped_commit) == 1
     assert "tool" in [f.name for f in eng2.table.user_schema()]
 
     final = _final_state(eng2.table)

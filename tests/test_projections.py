@@ -241,8 +241,10 @@ def test_multi_table_fanout_routes_and_resumes(spark, tmp_path):
     assert {r["tool"] for r in tc.read().select("tool").distinct().collect()} == {
         "tool_0", "tool_1", "tool_2", "tool_3"
     }
-    # children committed per epoch (3 epochs of 20)
-    assert len(ut.committed_epochs()) == 3
+    # children committed per epoch (3 epochs of 20); the bounded ledger settles
+    # all but the newest epoch into the watermark
+    assert all(ut.has_epoch(e) for e in ("e000001", "e000002", "e000003"))
+    assert ut.epochs_through().get("e", 0) + len(ut.committed_epochs()) == 3
 
     # kill-and-resume: children written by a fresh engine match uninterrupted run
     feed_path, main_b, ut_b, tc_b = _mk(spark, tmp_path, "b")
@@ -251,12 +253,27 @@ def test_multi_table_fanout_routes_and_resumes(spark, tmp_path):
     pd.testing.assert_frame_equal(_state(ut), _state(ut_b))
     pd.testing.assert_frame_equal(_state(tc), _state(tc_b))
 
-    # crash between main commit and child fan-out: resume repairs the children
+    # crash between main commit and child fan-out: resume repairs the children.
+    # Fault injected AFTER the main merge, BEFORE projections — every epoch is
+    # committed but UNSETTLED (settlement happens only after all derived
+    # commits), so resume takes the replay path and re-derives the fan-out
+    # instead of fast-skipping (the bounded-ledger watermark must never cover
+    # an epoch with pending derived work).
     feed_path, main_c, ut_c, tc_c = _mk(spark, tmp_path, "c")
-    CdcEngine(spark, feed_path, main_c, epoch_rows=20).run()  # no projections wired
-    assert ut_c.read().count() == 0
+    eng_c = _eng(spark, feed_path, main_c, ut_c, tc_c)
+
+    def _boom(batch, epoch_id):
+        raise RuntimeError("injected crash before fan-out")
+
+    eng_c._apply_projections = _boom
+    import pytest
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        eng_c.run()
+    assert main_c.has_epoch("e000001") and ut_c.read().count() == 0
+    assert main_c.epochs_through() == {}  # nothing settled past the crash
     res = _eng(spark, feed_path, main_c, ut_c, tc_c).run()
-    assert all(r.skipped_commit for r in res)
+    assert all(r.skipped_commit for r in res[:1])  # e000001 replayed, not skipped
     pd.testing.assert_frame_equal(_state(ut), _state(ut_c))
 
     # replay is a no-op for children
