@@ -436,9 +436,20 @@ class SnapshotTable:
         include_meta: bool = False,
     ) -> DataFrame:
         """Snapshot read. Explicit schema → Spark null-fills columns that predate a
-        file (additive evolution); column pruning & filter pushdown still apply."""
+        file (additive evolution); column pruning & filter pushdown still apply.
+
+        Column renames are METADATA-ONLY (rename_column): files written before
+        a rename still carry the former name, so the read schema includes each
+        former name as an extra nullable field (a given file has exactly one of
+        the two, the other null-fills) and ``coalesce(current, former...)``
+        unifies them — one scan, no per-file schema bookkeeping, column pruning
+        intact (only the name pair is read for a renamed column)."""
         m = self.manifest(snapshot_id)
         schema = T.StructType.fromJson(m["schema"])
+        cur_names = {f.name for f in schema}
+        renames = {
+            k: v for k, v in m.get("renamed_cols", {}).items() if k in cur_names
+        }
         files: list[str] = []
         for b, fs in m["files"].items():
             if buckets is None or int(b) in buckets:
@@ -446,7 +457,21 @@ class SnapshotTable:
         if not files:
             df = self.spark.createDataFrame([], schema)
         else:
-            df = self.spark.read.schema(schema).parquet(*files)
+            read_schema = schema
+            if renames:
+                extra = [
+                    T.StructField(o, schema[k].dataType, True)
+                    for k, olds in renames.items()
+                    for o in olds
+                ]
+                read_schema = T.StructType(list(schema.fields) + extra)
+            df = self.spark.read.schema(read_schema).parquet(*files)
+            if renames:
+                for k, olds in renames.items():
+                    df = df.withColumn(
+                        k, F.coalesce(F.col(k), *[F.col(o) for o in olds])
+                    )
+                df = df.select(*[f.name for f in schema])
         if not include_meta:
             if DELETED_COL in df.columns:
                 # hide retained tombstones from user reads (pushed-down filter)
@@ -621,16 +646,47 @@ class SnapshotTable:
         (T.FloatType(), T.DoubleType()),
     }
 
+    @staticmethod
+    def _apply_renames_df(df: DataFrame, m: dict) -> DataFrame:
+        """Conform a change batch still carrying FORMER column names onto the
+        current names (a feed whose schema lags behind a rename_column keeps
+        working — the rename map, not the wire name, carries column identity)."""
+        mapping = {}
+        for new, olds in m.get("renamed_cols", {}).items():
+            if new in df.columns:
+                continue
+            for o in olds:
+                if o in df.columns:
+                    mapping[o] = new
+                    break
+        return df.withColumnsRenamed(mapping) if mapping else df
+
     def _evolve_schema(self, batch_schema: T.StructType) -> T.StructType:
         """Additive union of the current table schema and the batch schema: new
         columns appended (nullable), existing columns may WIDEN along Iceberg's
         safe promotions (int→long, float→double — old files read through the
         widened type losslessly). Any other type change is rejected — same
-        contract as the reference's ADD COLUMN IF NOT EXISTS migrations."""
+        contract as the reference's ADD COLUMN IF NOT EXISTS migrations.
+
+        A RETIRED name (the former name of a renamed column, when the batch
+        also carries the current name) cannot come back as a new column: old
+        data files still store that name for the renamed column, so reusing it
+        would silently alias two different columns at read time."""
         current = self.schema()
+        retired = {
+            o
+            for olds in self.manifest().get("renamed_cols", {}).values()
+            for o in olds
+        }
         names = {f.name: f for f in current}
         out = list(current.fields)
         for f in batch_schema.fields:
+            if f.name in retired and f.name not in names:
+                raise TypeError(
+                    f"column name {f.name!r} is retired (former name of a "
+                    "renamed column still present in old data files) and "
+                    "cannot be reintroduced"
+                )
             if f.name in names:
                 cur_t = names[f.name].dataType
                 if f.dataType == cur_t or f.name == LSN_COL:
@@ -691,6 +747,7 @@ class SnapshotTable:
         order_cols = [c for c in m["order_cols"] if c != LSN_COL]
         B = m["num_buckets"]
 
+        batch = self._apply_renames_df(batch, m)
         batch = batch.withColumn(LSN_COL, F.col(lsn_col).cast("long"))
         payload_schema = T.StructType(
             [f for f in batch.schema if f.name not in (op_col, lsn_col)]
@@ -833,6 +890,7 @@ class SnapshotTable:
         key_cols, B = m["key_cols"], m["num_buckets"]
         fns = {"min": F.min, "max": F.max, "sum": F.sum}
 
+        batch = self._apply_renames_df(batch, m)
         batch = batch.withColumn(BUCKET_COL, _bucket_expr(key_cols[0], B))
         touched = sorted(r[0] for r in batch.select(BUCKET_COL).distinct().collect())
         schema = self.schema()
@@ -920,7 +978,9 @@ class SnapshotTable:
         )
         final = self._conform(kept, schema)
         if agg is not None:
-            incoming = self._conform(agg, schema).withColumn(
+            incoming = self._conform(
+                self._apply_renames_df(agg, m), schema
+            ).withColumn(
                 DELETED_COL, F.lit(False)
             )
             final = final.unionByName(self._conform(incoming, schema))
@@ -1040,6 +1100,7 @@ class SnapshotTable:
         m = self.manifest()
         key_cols, B = m["key_cols"], m["num_buckets"]
         order_cols = [c for c in m["order_cols"] if c != LSN_COL]
+        df = self._apply_renames_df(df, m)
         df = df.withColumn(LSN_COL, F.col("lsn").cast("long"))
         lsn_obs = None
         if hi_lsn is None:
@@ -1187,6 +1248,9 @@ class SnapshotTable:
 
         def _live(sid: int, tag: str) -> DataFrame:
             df = self.read(snapshot_id=sid, buckets=changed, include_meta=True)
+            # a pre-rename endpoint reads under its own (former) column names;
+            # conform to the TO-side names so the diff spans a rename_column
+            df = self._apply_renames_df(df, mb)
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
             cols = [*key_cols, F.col(LSN_COL).alias(f"_lsn_{tag}")]
             cols += [F.col(c).alias(f"{c}_{tag}") for c in payload if c in df.columns]
@@ -1255,6 +1319,71 @@ class SnapshotTable:
         }, m, touched=[])
         if already:
             return MergeResult(epoch_id=epoch_id, skipped=True, snapshot_id=sid)
+        return MergeResult(epoch_id=epoch_id, touched_buckets=[], snapshot_id=sid)
+
+    def rename_column(self, old: str, new: str, epoch_id: str) -> MergeResult:
+        """METADATA-ONLY column rename — the reference's ALTER TABLE ... RENAME
+        migrations (pre_process_alter_tables.sql:45-46, InitOmopDb.java:111-141)
+        without rewriting a single data file. Iceberg renames by stable field
+        id; here column identity across old files is carried by the manifest's
+        ``renamed_cols`` map ({current_name: [former names...]}): reads unify
+        former-name columns via coalesce (see :meth:`read`), change batches
+        still arriving under a former name are conformed by the merge paths
+        (:meth:`_apply_renames_df`), and retired names can never be
+        reintroduced (ambiguity guard in :meth:`_evolve_schema`).
+
+        Key and LWW-order columns cannot be renamed: the epoch manager derives
+        bucket pruning, validity gating, and expiry watermarks from those
+        names on the RAW feed, before any table-side conformance — renaming
+        them mid-stream would desynchronize engine and table. Rename is a
+        single-writer schema operation (no concurrent-commit rebase), like
+        overwrite. Idempotent per epoch_id."""
+        epoch_id = str(epoch_id)
+        m = self.manifest()
+        if self._has_epoch_m(m, epoch_id):
+            return MergeResult(epoch_id=epoch_id, skipped=True,
+                               snapshot_id=m["snapshot_id"])
+        schema = T.StructType.fromJson(m["schema"])
+        names = [f.name for f in schema]
+        if old not in names:
+            raise ValueError(f"no column {old!r} to rename (schema: {names})")
+        if old in META_COLS or old in m["key_cols"] or old in m["order_cols"]:
+            raise ValueError(
+                f"cannot rename {old!r}: key, order, and meta columns are "
+                "pinned (the epoch manager addresses the raw feed by them)"
+            )
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        renames = {k: list(v) for k, v in m.get("renamed_cols", {}).items()}
+        if new in {o for olds in renames.values() for o in olds}:
+            raise ValueError(
+                f"{new!r} is a retired former name still present in old data "
+                "files; reusing it would alias two columns at read time"
+            )
+        # a re-renamed column carries its whole former-name history forward
+        renames[new] = [old] + renames.pop(old, [])
+        new_fields = [
+            T.StructField(new, f.dataType, f.nullable) if f.name == old else f
+            for f in schema
+        ]
+        props = dict(m.get("properties", {}))
+        if old in (props.get("stats_cols") or []):
+            props["stats_cols"] = [new if c == old else c for c in props["stats_cols"]]
+        stats = {
+            b: {(new if c == old else c): v for c, v in cs.items()}
+            for b, cs in m.get("stats", {}).items()
+        }
+        sid = self._write_manifest({
+            **m,
+            "snapshot_id": m["snapshot_id"] + 1,
+            "parent_id": m["snapshot_id"],
+            "epoch_id": epoch_id,
+            "schema": json.loads(T.StructType(new_fields).json()),
+            "renamed_cols": renames,
+            "stats": stats,
+            "properties": props,
+            **self._ledger(m, epoch_id),
+        })
         return MergeResult(epoch_id=epoch_id, touched_buckets=[], snapshot_id=sid)
 
     # ---------------------------------------------------------------- maintenance
