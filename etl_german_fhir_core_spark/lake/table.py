@@ -66,6 +66,10 @@ def _family_index(epoch_id: str) -> tuple[str | None, int | None]:
         return "e", int(base[1:])
     if base.startswith("stream-") and base[len("stream-"):].isdigit():
         return "stream", int(base[len("stream-"):])
+    if base.startswith("cdf-") and base[len("cdf-"):].isdigit():
+        # change-feed consumer epochs: one per source snapshot id, contiguous
+        # by construction (streaming/changefeed.py)
+        return "cdf", int(base[len("cdf-"):])
     return None, None
 
 

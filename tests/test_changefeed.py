@@ -1,0 +1,163 @@
+"""ChangeFeedSync: a downstream table fed ONLY by the source's snapshot diffs
+converges to the source state, in snapshot order, exactly once, across
+kill/resume (VERDICT r04 next #8)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_german_fhir_core_spark.lake import SnapshotTable
+from etl_german_fhir_core_spark.lake.store import LocalStore
+from etl_german_fhir_core_spark.lake.table import SnapshotExpiredError
+from etl_german_fhir_core_spark.streaming import ChangeFeedSync
+
+TS0 = dt.datetime(2025, 1, 1, 0, 0, 0)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "op string, lsn long, conv_id string, turn_idx int, "
+        "text string, ts timestamp"
+    )
+
+
+def _mk(spark, root):
+    return SnapshotTable.create(spark, root, SCHEMA, ["conv_id", "turn_idx"],
+                                num_buckets=4)
+
+
+def _live(tbl):
+    import pandas as pd
+
+    df = (
+        tbl.read(include_meta=True)
+        .filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+        .toPandas()
+    )
+    return df[sorted(df.columns)].sort_values(
+        ["conv_id", "turn_idx"], kind="mergesort"
+    ).reset_index(drop=True)
+
+
+class _FailNthPut(LocalStore):
+    def __init__(self, fail_on: int):
+        self._n = 0
+        self._fail_on = fail_on
+
+    def put_blob(self, path, data):
+        self._n += 1
+        if self._n == self._fail_on:
+            raise TimeoutError("injected: position write lost")
+        super().put_blob(path, data)
+
+
+def test_diff_stream_converges_exactly_once_across_crash(spark, tmp_path):
+    src = _mk(spark, str(tmp_path / "src"))
+    tgt = _mk(spark, str(tmp_path / "tgt"))
+    src.merge(_batch(spark, [
+        ("U", i, f"c{i}", 0, f"v{i}", TS0 + dt.timedelta(seconds=i))
+        for i in range(1, 6)
+    ]), epoch_id="e000001")
+
+    store = _FailNthPut(fail_on=2)  # first put = position 1; second crashes
+    sync = ChangeFeedSync(src, tgt, str(tmp_path / "state"), store=store)
+    assert sync.sync_once() == [1]
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(_live(src), _live(tgt))
+
+    # source advances: LWW overwrite, delete (tombstone), insert, stale no-op
+    src.merge(_batch(spark, [
+        ("U", 10, "c1", 0, "v1-new", TS0 + dt.timedelta(seconds=60)),
+        ("D", 11, "c2", 0, None, TS0 + dt.timedelta(seconds=61)),
+        ("U", 12, "c9", 0, "v9", TS0 + dt.timedelta(seconds=62)),
+    ]), epoch_id="e000002")
+    src.merge(_batch(spark, [
+        ("U", 13, "c3", 0, "stale", TS0 - dt.timedelta(seconds=5)),  # LWW loser
+    ]), epoch_id="e000003")
+
+    # crash BETWEEN the applied merge for snapshot 2 and its position write
+    with pytest.raises(TimeoutError, match="injected"):
+        sync.sync_once()
+    assert sync.position() == 1  # position did not advance past the crash
+
+    # resume: the re-derived diff hits the idempotent skip, then the tail applies
+    assert sync.sync_once() == [2, 3]
+    pd.testing.assert_frame_equal(_live(src), _live(tgt))
+    assert _live(tgt).loc[lambda d: d.conv_id == "c1", "text"].iloc[0] == "v1-new"
+    assert "c2" not in set(_live(tgt).conv_id)
+    # exactly-once: one target snapshot per applied diff, none for the replay
+    assert tgt.current_snapshot_id() == 3
+    # consumer epochs are a settling ledger family — tail stays bounded
+    assert len(tgt.committed_epochs()) <= 2
+
+
+def test_lagging_consumer_vacuum_guard_and_bootstrap(spark, tmp_path):
+    src = _mk(spark, str(tmp_path / "src"))
+    for i in range(1, 5):
+        src.merge(_batch(spark, [
+            ("U", i, f"c{i}", 0, f"v{i}", TS0 + dt.timedelta(seconds=i))
+        ]), epoch_id=f"e{i:06d}")
+    src.merge(_batch(spark, [
+        ("D", 9, "c1", 0, None, TS0 + dt.timedelta(seconds=30)),
+    ]), epoch_id="e000005")
+    src.vacuum(keep_last=1)  # consumer at position 0 is now behind the window
+
+    tgt = _mk(spark, str(tmp_path / "tgt"))
+    strict = ChangeFeedSync(src, tgt, str(tmp_path / "state"))
+    with pytest.raises(SnapshotExpiredError, match="keep_last"):
+        strict.sync_once()
+
+    seeded = ChangeFeedSync(src, tgt, str(tmp_path / "state"), bootstrap=True)
+    assert seeded.sync_once() == [src.current_snapshot_id()]
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(_live(src), _live(tgt))
+    # the bootstrap carried the c1 tombstone: a stale late event cannot resurrect
+    tgt.merge(_batch(spark, [
+        ("U", 2, "c1", 0, "stale resurrection", TS0 + dt.timedelta(seconds=2)),
+    ]), epoch_id="late-stale")
+    assert "c1" not in set(_live(tgt).conv_id)
+    # and the consumer keeps tailing normal diffs afterwards
+    src.merge(_batch(spark, [
+        ("U", 20, "c6", 0, "v6", TS0 + dt.timedelta(seconds=90)),
+    ]), epoch_id="e000006")
+    seeded.sync_once()
+    pd.testing.assert_frame_equal(_live(src), _live(tgt))
+
+
+def test_foreachbatch_clock_tails_new_snapshots(spark, tmp_path):
+    src = _mk(spark, str(tmp_path / "src"))
+    tgt = _mk(spark, str(tmp_path / "tgt"))
+    sync = ChangeFeedSync(src, tgt, str(tmp_path / "state"))
+    q = sync.stream(spark, trigger_seconds=1)
+    try:
+        src.merge(_batch(spark, [
+            ("U", 1, "c1", 0, "hello", TS0),
+            ("U", 2, "c2", 0, "world", TS0),
+        ]), epoch_id="e000001")
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if sync.position() == src.current_snapshot_id():
+                break
+            time.sleep(0.5)
+        assert sync.position() == src.current_snapshot_id()
+    finally:
+        q.stop()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(_live(src), _live(tgt))
