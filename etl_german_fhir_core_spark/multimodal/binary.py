@@ -7,9 +7,14 @@ through ``mapInPandas``. The codec layer dispatches on payload format:
   (``decode_ppm``/``encode_ppm`` — uncompressed RGB needs no image libraries), so
   the decode → feature-extract → resize path runs end to end on actual pixels
   (VERDICT r03 missing #2).
-- Every other format falls back to ``decode_image_stub`` — a deterministic fake,
-  clearly marked (no PNG/JPEG codec libs in this container). Swapping in a real
-  library decoder is a one-function change with an identical batch signature.
+- **BMP (24-bit BI_RGB)** payloads likewise decode/resize on real pixels with a
+  pure-numpy codec (``decode_bmp``/``encode_bmp`` — a second, structurally
+  different header grammar: little-endian structs, bottom-up padded BGR rows).
+- Any other format dispatches to **Pillow when importable** (``HAVE_PIL`` probe
+  — not present in this container, but a deployment with Pillow gets real
+  PNG/JPEG decode with zero code changes).
+- Only when none of those apply does the payload fall back to
+  ``decode_image_stub`` — a deterministic fake, clearly marked.
 
 Design rule for 100 TB: binary payloads ride in their own column so Parquet column
 pruning keeps metadata-only queries from ever touching the bytes; decode runs as an
@@ -88,6 +93,101 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return data.reshape(h, w, 3)
 
 
+BMP_MAGIC = b"BM"
+BMP_MEDIA_TYPE = "image/bmp"
+
+try:  # optional-library probe: real PNG/JPEG codecs where Pillow exists
+    from PIL import Image as _PILImage  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:  # pragma: no cover - sandbox has no Pillow
+    _PILImage = None
+    HAVE_PIL = False
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """Uncompressed 24-bit BI_RGB BMP encode of an (h, w, 3) uint8 RGB array —
+    pure numpy/struct, no image libraries. Windows DIB layout: 14-byte file
+    header + 40-byte BITMAPINFOHEADER, pixel rows stored BOTTOM-UP in BGR
+    order, each row zero-padded to a 4-byte boundary."""
+    import struct
+
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) RGB array, got shape {arr.shape}")
+    h, w = arr.shape[:2]
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    bgr = np.ascontiguousarray(arr[::-1, :, ::-1], dtype=np.uint8)  # flip + BGR
+    if pad:
+        bgr = np.pad(bgr.reshape(h, row_bytes), ((0, 0), (0, pad)))
+    data = bgr.tobytes()
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 14 + 40)
+    return header + info + data
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BI_RGB BMP decode to an (h, w, 3) uint8 RGB array.
+    Handles bottom-up (biHeight > 0) and top-down (biHeight < 0) row order and
+    4-byte row padding; raises ValueError on compressed / non-24-bit payloads."""
+    import struct
+
+    if not payload.startswith(BMP_MAGIC):
+        raise ValueError("not a BMP payload")
+    (pix_off,) = struct.unpack_from("<I", payload, 10)
+    hdr_size, w, h_raw = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"only uncompressed 24-bit BI_RGB BMP supported "
+            f"(hdr={hdr_size}, planes={planes}, bpp={bpp}, comp={compression})"
+        )
+    h = abs(h_raw)
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    data = np.frombuffer(payload, dtype=np.uint8, count=h * stride, offset=pix_off)
+    rows = data.reshape(h, stride)[:, :row_bytes].reshape(h, w, 3)
+    if h_raw > 0:
+        rows = rows[::-1]  # bottom-up storage → top-down array
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+def decode_image(payload: bytes) -> np.ndarray | None:
+    """Real-pixel decode when a codec applies: P6 PPM and 24-bit BMP through
+    the built-in pure-numpy codecs, anything else through Pillow when
+    importable. Returns None when no real codec is available (the caller falls
+    back to the marked deterministic stub)."""
+    if payload.startswith(PPM_MAGIC):
+        return decode_ppm(payload)
+    if payload.startswith(BMP_MAGIC):
+        return decode_bmp(payload)
+    if HAVE_PIL:  # pragma: no cover - exercised only where Pillow exists
+        import io
+
+        with _PILImage.open(io.BytesIO(payload)) as img:
+            return np.asarray(img.convert("RGB"), dtype=np.uint8)
+    return None
+
+
+def _reencode_like(arr: np.ndarray, original: bytes) -> bytes:
+    """Re-encode resized pixels in the ORIGINAL payload's format (a resize must
+    not silently transcode the corpus): built-in writers for PPM/BMP, Pillow
+    round-trip for its formats."""
+    if original.startswith(PPM_MAGIC):
+        return encode_ppm(arr)
+    if original.startswith(BMP_MAGIC):
+        return encode_bmp(arr)
+    if HAVE_PIL:  # pragma: no cover - exercised only where Pillow exists
+        import io
+
+        with _PILImage.open(io.BytesIO(original)) as img:
+            fmt = img.format
+        buf = io.BytesIO()
+        _PILImage.fromarray(arr, mode="RGB").save(buf, format=fmt)
+        return buf.getvalue()
+    raise NotImplementedError("no codec available to re-encode this format")
+
+
 def _resize_nearest(arr: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
     """Nearest-neighbor resample via numpy index arrays (the library-free
     resize; a real deployment swaps in PIL/antialiased resampling here)."""
@@ -130,17 +230,19 @@ def decode_image_stub(payload: bytes) -> tuple[int, int, list[float]]:
 def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Arrow-batched decode/feature-extract over ``mapInPandas``: each incoming
     pandas batch yields one outgoing batch; the codec runs per-payload inside the
-    batch (vectorizable when a real library takes array input). Payloads with the
-    P6 magic decode REAL pixels (decode_ppm) and emit real per-channel
-    mean/std features; everything else takes the deterministic stub."""
+    batch (vectorizable when a real library takes array input). Payloads with a
+    real codec available (P6 PPM, 24-bit BMP, or any Pillow format where
+    Pillow is installed — decode_image) decode REAL pixels and emit real
+    per-channel mean/std features; only codec-less formats take the stub."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ws, hs, feats = [], [], []
             for payload in pdf[payload_col]:
                 raw = bytes(payload) if payload is not None else b""
-                if raw.startswith(PPM_MAGIC):
-                    w, h, f = _ppm_features(decode_ppm(raw))
+                arr = decode_image(raw) if raw else None
+                if arr is not None:
+                    w, h, f = _ppm_features(arr)
                 else:
                     w, h, f = decode_image_stub(raw)
                 ws.append(w)
@@ -176,13 +278,13 @@ def resize_images(
     df: DataFrame, target_w: int, target_h: int, payload_col: str = "payload"
 ) -> DataFrame:
     """Arrow-batched image resize over ``mapInPandas`` — same contract as
-    extract_features. P6 PPM payloads take the REAL pixel path: decode_ppm →
-    numpy nearest-neighbor resample → encode_ppm, so the output is a valid PPM
-    of exactly (target_w, target_h) actual pixels. Other formats fall back to a
-    deterministic STUB (no codec libs in this container — a real deployment
-    replaces it with e.g. PIL ``Image.resize``, identical signature); the fake
-    emits bytes derived from a rolling hash of the source payload, so output
-    size and determinism stay test-checkable."""
+    extract_features. Payloads with a real codec (P6 PPM, 24-bit BMP, Pillow
+    formats where installed) take the REAL pixel path: decode → numpy
+    nearest-neighbor resample → re-encode in the ORIGINAL format, so the
+    output is a valid payload of exactly (target_w, target_h) actual pixels.
+    Codec-less formats fall back to a deterministic STUB; the fake emits bytes
+    derived from a rolling hash of the source payload, so output size and
+    determinism stay test-checkable."""
 
     def _resize_stub(payload: bytes) -> bytes:
         h = 2166136261
@@ -192,8 +294,9 @@ def resize_images(
         return bytes((h >> (8 * (i % 4))) & 0xFF for i in range(min(n, 4096)))
 
     def _resize_one(payload: bytes) -> bytes:
-        if payload.startswith(PPM_MAGIC):
-            return encode_ppm(_resize_nearest(decode_ppm(payload), target_w, target_h))
+        arr = decode_image(payload)
+        if arr is not None:
+            return _reencode_like(_resize_nearest(arr, target_w, target_h), payload)
         return _resize_stub(payload)
 
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
