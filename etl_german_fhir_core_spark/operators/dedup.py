@@ -196,6 +196,28 @@ def _pair_jaccard(
     return out
 
 
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """(doc, h0..h{k-1}) MinHash signature rows — the shingle-explode +
+    map-side-partial min-aggregate stage of :func:`minhash_lsh_pairs`, exposed
+    separately so the scaling sweep can attribute wall time per stage
+    (signature agg vs bucket join vs verify — BENCH/BASELINE.md)."""
+    # duplicate shingles cannot change a min — skip the distinct shuffle here
+    sh = _shingle_rows(df, id_col, text_col, n, distinct=False)
+    hashed = sh.withColumn("_h0", F.xxhash64("shingle"))
+    return hashed.groupBy("doc").agg(
+        *[
+            F.min(F.xxhash64(F.col("_h0"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -218,15 +240,7 @@ def minhash_lsh_pairs(
     aggregation; the bucket join then shuffles bands × 16 bytes per doc.
     """
     rows_per_band = num_hashes // bands
-    # duplicate shingles cannot change a min — skip the distinct shuffle here
-    sh = _shingle_rows(df, id_col, text_col, n, distinct=False)
-    hashed = sh.withColumn("_h0", F.xxhash64("shingle"))
-    mins = hashed.groupBy("doc").agg(
-        *[
-            F.min(F.xxhash64(F.col("_h0"), F.lit(i))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
-    )
+    mins = minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes)
     band_cols = [
         F.xxhash64(
             *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]

@@ -53,9 +53,17 @@ def main() -> None:
     ap.add_argument("--n-docs", type=int, default=0)
     ap.add_argument("--gen-only", action="store_true")
     ap.add_argument("--repeat", type=int, default=3)
+    ap.add_argument(
+        "--stages", action="store_true",
+        help="additionally time the pipeline PREFIXES once each (signature agg; "
+        "+bucket-join candidates) so a scaling gap can be attributed to a stage",
+    )
     args = ap.parse_args()
 
-    from etl_german_fhir_core_spark.operators.dedup import minhash_lsh_pairs
+    from etl_german_fhir_core_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
 
     spark = SparkSession.builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -84,7 +92,25 @@ def main() -> None:
     for _ in range(args.repeat):
         s, n_pairs = one_run()
         rep_secs.append(s)
-    print(json.dumps({"rep_secs": rep_secs, "pairs": n_pairs}))
+    out = {"rep_secs": rep_secs, "pairs": n_pairs}
+
+    if args.stages:
+        # pipeline-prefix timings (warm JVM): sig = shingle explode + signature
+        # agg; cand = sig + banded bucket self-join + distinct. Stage deltas
+        # (cand − sig, full − cand) attribute the scaling curve to a stage.
+        spark.catalog.clearCache()
+        t0 = time.time()
+        n_sigs = minhash_signatures(docs, "doc_id", "text", n=3, num_hashes=32).count()
+        out["sig_secs"] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
+        t0 = time.time()
+        n_cand = minhash_lsh_pairs(
+            docs, "doc_id", "text", n=3, num_hashes=32, bands=8,
+            verify_threshold=None,
+        ).count()
+        out["cand_secs"] = round(time.time() - t0, 3)
+        out["n_sigs"], out["n_cand"] = n_sigs, n_cand
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
