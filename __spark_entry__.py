@@ -188,6 +188,72 @@ def q_cdc_snapshot_diff(spark, sf_dir):
     )
 
 
+def _cdc_table_schema(feed):
+    from pyspark.sql import types as T2
+
+    return T2.StructType([
+        T2.StructField("conv_id", T2.StringType(), False),
+        T2.StructField("turn_idx", T2.IntegerType(), False),
+        T2.StructField("role", T2.StringType(), True),
+        T2.StructField("text", T2.StringType(), True),
+        T2.StructField("ts", feed.schema["ts"].dataType, True),
+    ])
+
+
+def q_cdc_rename_final_state(spark, sf_dir):
+    """Column-rename schema evolution END TO END against an independent oracle
+    (lake/table.rename_column; reference ALTER TABLE ... RENAME migrations,
+    pre_processing/pre_process_alter_tables.sql:45-46, InitOmopDb.java:111-141):
+    a REAL table is built in-query — first half of the feed merged under the
+    original 'role' name, the column renamed to 'speaker' (METADATA-only, no
+    file rewrite; identity carried by the manifest rename map), then the second
+    half merged with the feed STILL shipping 'role'. The final live state must
+    equal the plain LWW oracle modulo the column name — old files, lagging
+    batches, and LWW overwrites across the rename all unify at read time."""
+    import tempfile
+
+    from etl_german_fhir_core_spark.lake import SnapshotTable
+
+    feed = _feed(spark, sf_dir)
+    mid = feed.agg(F.max("lsn")).collect()[0][0] // 2
+    root = tempfile.mkdtemp(prefix="rename_tbl_")  # leaked until /tmp GC (lazy read)
+    tbl = SnapshotTable.create(spark, f"{root}/t", _cdc_table_schema(feed),
+                               ["conv_id", "turn_idx"], num_buckets=8)
+    tbl.merge(feed.filter(F.col("lsn") <= mid), epoch_id="a")
+    tbl.rename_column("role", "speaker", epoch_id="migrate")
+    tbl.merge(feed.filter(F.col("lsn") > mid), epoch_id="b")
+    return tbl.read().select("conv_id", "turn_idx", "speaker", "text", "ts")
+
+
+def q_cdc_changefeed_sync(spark, sf_dir):
+    """Streaming change-feed consumer END TO END against an independent oracle
+    (streaming/changefeed.ChangeFeedSync — Delta-CDF-as-a-source; reference
+    analog: downstream post-processing consuming the date-windowed incremental
+    re-read, TaskConfiguration.java:225-247): a source table is built in-query
+    (two merges), and a TARGET table is fed ONLY by the source's snapshot-step
+    diffs (manifest-pruned changes_between, ledgered exactly-once apply,
+    durable position blob). The target's final live state must equal the LWW
+    oracle computed directly from the feed — convergence through the diff
+    channel, verified independently in DuckDB."""
+    import tempfile
+
+    from etl_german_fhir_core_spark.lake import SnapshotTable
+    from etl_german_fhir_core_spark.streaming import ChangeFeedSync
+
+    feed = _feed(spark, sf_dir)
+    mid = feed.agg(F.max("lsn")).collect()[0][0] // 2
+    root = tempfile.mkdtemp(prefix="cdf_tbl_")  # leaked until /tmp GC (lazy read)
+    schema = _cdc_table_schema(feed)
+    src = SnapshotTable.create(spark, f"{root}/src", schema,
+                               ["conv_id", "turn_idx"], num_buckets=8)
+    tgt = SnapshotTable.create(spark, f"{root}/tgt", schema,
+                               ["conv_id", "turn_idx"], num_buckets=8)
+    src.merge(feed.filter(F.col("lsn") <= mid), epoch_id="a")
+    src.merge(feed.filter(F.col("lsn") > mid), epoch_id="b")
+    ChangeFeedSync(src, tgt, f"{root}/state").sync_once()
+    return tgt.read().select("conv_id", "turn_idx", "role", "text", "ts")
+
+
 # --------------------------------------------------------------------------- mappers
 
 def q_mapper_normalize_project(spark, sf_dir):
@@ -1076,6 +1142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_conflict_stats": q_cdc_conflict_stats,
         "cdc_lineage_rollup": q_cdc_lineage_rollup,
         "cdc_snapshot_diff": q_cdc_snapshot_diff,
+        "cdc_rename_final_state": q_cdc_rename_final_state,
+        "cdc_changefeed_sync": q_cdc_changefeed_sync,
         "cdc_rollup_final_state": q_cdc_rollup_final_state,
         "mapper_normalize_project": q_mapper_normalize_project,
         "mapper_validity_filter": q_mapper_validity_filter,
@@ -1162,6 +1230,25 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY ts DESC, lsn DESC) AS rn
               FROM feed
             ) WHERE rn = 1 AND op = 'D'
+        """,
+        # the rename is metadata-only, so the oracle is the plain LWW final
+        # state with the column aliased to its post-rename name
+        "cdc_rename_final_state": _FEED_CTE
+        + """
+            SELECT conv_id, turn_idx, role AS speaker, text, ts FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                                           ORDER BY ts DESC, lsn DESC) AS rn
+              FROM feed
+            ) WHERE rn = 1 AND op <> 'D'
+        """,
+        # a change-feed-fed target must CONVERGE to the source's LWW state
+        "cdc_changefeed_sync": _FEED_CTE
+        + """
+            SELECT conv_id, turn_idx, role, text, ts FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                                           ORDER BY ts DESC, lsn DESC) AS rn
+              FROM feed
+            ) WHERE rn = 1 AND op <> 'D'
         """,
         "cdc_epoch_window_scan": _FEED_CTE
         + """
