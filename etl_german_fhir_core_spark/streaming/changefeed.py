@@ -95,6 +95,7 @@ class ChangeFeedSync:
         head = self.source.current_snapshot_id()
         pos = self.position()
         applied: list[int] = []
+        self._sync_renames()
         oldest = self.source.oldest_readable_snapshot()
         if pos < oldest:
             if not self.bootstrap:
@@ -117,6 +118,29 @@ class ChangeFeedSync:
             applied.append(nxt)
             pos = nxt
         return applied
+
+    def _sync_renames(self) -> None:
+        """Replay source column renames on the target BEFORE applying diffs.
+        Without this, a diff emitted after a source rename_column carries the
+        NEW name, the target's merge-time evolution would add it as a brand-new
+        column, and the old column's data would silently split across the two.
+        The rename epoch id is a deterministic function of the name pair, so
+        every consumer replays it exactly once (idempotent ledger)."""
+        src_renames = self.source.manifest().get("renamed_cols", {})
+        if not src_renames:
+            return
+        tgt_names = {f.name for f in self.target.schema()}
+        for new, olds in src_renames.items():
+            if new in tgt_names:
+                continue
+            for old in olds:
+                if old in tgt_names:
+                    self.target.rename_column(
+                        old, new, epoch_id=f"cdf-rename-{old}-{new}"
+                    )
+                    tgt_names.discard(old)
+                    tgt_names.add(new)
+                    break
 
     def _bootstrap(self, head: int) -> None:
         """Re-seed a too-far-behind consumer from the source's current state in

@@ -140,6 +140,42 @@ def test_lagging_consumer_vacuum_guard_and_bootstrap(spark, tmp_path):
     pd.testing.assert_frame_equal(_live(src), _live(tgt))
 
 
+def test_source_rename_mid_tail_is_replayed_on_target(spark, tmp_path):
+    """A source rename_column between syncs must be replayed on the target
+    BEFORE diffs apply — otherwise the post-rename diff's new column name
+    would evolve in as a brand-new column and split the data."""
+    src = _mk(spark, str(tmp_path / "src"))
+    tgt = _mk(spark, str(tmp_path / "tgt"))
+    sync = ChangeFeedSync(src, tgt, str(tmp_path / "state"))
+
+    src.merge(_batch(spark, [
+        ("U", 1, "c1", 0, "hello", TS0),
+    ]), epoch_id="e000001")
+    sync.sync_once()
+
+    src.rename_column("text", "content", epoch_id="migrate")
+    src.merge(
+        spark.createDataFrame(
+            [("U", 2, "c2", 0, "world", TS0)],
+            "op string, lsn long, conv_id string, turn_idx int, "
+            "content string, ts timestamp",
+        ),
+        epoch_id="e000002",
+    )
+    sync.sync_once()
+    assert [f.name for f in tgt.user_schema()] == ["conv_id", "turn_idx",
+                                                   "content", "ts"]
+    got = {r["conv_id"]: r["content"] for r in tgt.read().collect()}
+    assert got == {"c1": "hello", "c2": "world"}  # no split/null columns
+    # replayed rename is idempotent across further syncs
+    src.merge(_batch(spark, [("U", 3, "c3", 0, "again", TS0)])
+              .withColumnRenamed("text", "content"), epoch_id="e000003")
+    sync.sync_once()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(_live(src), _live(tgt))
+
+
 def test_foreachbatch_clock_tails_new_snapshots(spark, tmp_path):
     src = _mk(spark, str(tmp_path / "src"))
     tgt = _mk(spark, str(tmp_path / "tgt"))

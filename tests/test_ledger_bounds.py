@@ -157,9 +157,11 @@ def test_manifest_gc_and_eager_changes_between_guard(spark, tmp_path):
     diff = tbl.changes_between(4, 5).collect()
     assert {(r["op"], r["conv_id"]) for r in diff} == {("I", "c5")}
 
-    # past-window diff fails eagerly with the named, actionable error
+    # past-window diff AND time-travel read fail eagerly with the named error
     with pytest.raises(SnapshotExpiredError, match="keep_last"):
         tbl.changes_between(2, 5)
+    with pytest.raises(SnapshotExpiredError, match="keep_last"):
+        tbl.read(snapshot_id=2)
 
     # table still fully functional after GC (read + further commits)
     assert tbl.read().count() == 5
