@@ -45,15 +45,18 @@ HEADLINE = [
 CDC_REPLAY_EVENTS = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "1000000"))
 CDC_REPLAY_REPS = int(os.environ.get("SPARK_GRAFT_CDC_REPS", "3"))
 
-# previous round's per-query seconds (driver's BENCH_r03.json) — any query >1.3x
+# previous round's per-query seconds (driver's BENCH_r04.json) — any query >1.3x
 # its prior time in THIS run is flagged in the output so a regression can't hide
-# in the total (VERDICT r02 next-step #10)
+# in the total (VERDICT r02 next-step #10). Caveat: the r04 numbers come from a
+# fresh-boot box; on a churned box EVERYTHING inflates uniformly 1.3-4x (see
+# BENCH/HEADLINE.md r05 note) — read uniform flags as box state, isolated flags
+# as real regressions.
 PRIOR_TIMES = {
-    "cdc_lww_final_state": 4.382, "agg_pricing_summary": 1.029, "era_islands": 1.154,
-    "join_concept_lookup": 1.066, "join_pairing_reciprocal": 0.958,
-    "window_latest_per_key": 0.619, "text_token_count": 0.264, "dedup_exact": 2.290,
-    "dedup_ngram_jaccard": 3.502, "dedup_minhash_lsh": 5.775, "sim_cosine_topk": 0.884,
-    "cdc_replay": 9.952,
+    "cdc_lww_final_state": 1.159, "agg_pricing_summary": 0.785, "era_islands": 0.885,
+    "join_concept_lookup": 0.918, "join_pairing_reciprocal": 0.723,
+    "window_latest_per_key": 0.451, "text_token_count": 0.264, "dedup_exact": 0.365,
+    "dedup_ngram_jaccard": 2.279, "dedup_minhash_lsh": 3.590, "sim_cosine_topk": 0.691,
+    "cdc_replay": 7.418,
 }
 
 HEADLINE_REPS = int(os.environ.get("SPARK_GRAFT_HEADLINE_REPS", "2"))
