@@ -254,6 +254,46 @@ def q_cdc_changefeed_sync(spark, sf_dir):
     return tgt.read().select("conv_id", "turn_idx", "role", "text", "ts")
 
 
+def q_cdc_changefeed_agg(spark, sf_dir):
+    """Delta-maintained aggregate view END TO END against an independent oracle
+    (streaming/changefeed.AggFeedSync — incremental view maintenance, the
+    retraction-capable third rollup mode: RollupSpec 'monoid' cannot retract a
+    tombstone's contribution and 'state' retracts by rescanning touched keys;
+    the CDF path folds SIGNED deltas from U_pre/D preimage rows, O(diff) per
+    sync). A per-conversation COUNT/SUM view maintained ONLY from snapshot
+    diffs across two source merges (including deletes and LWW losers) must
+    equal DuckDB's direct aggregate over the feed's LWW live state."""
+    import tempfile
+
+    from pyspark.sql import types as T2
+
+    from etl_german_fhir_core_spark.lake import SnapshotTable
+    from etl_german_fhir_core_spark.streaming import AggFeedSync
+
+    feed = _feed(spark, sf_dir)
+    mid = feed.agg(F.max("lsn")).collect()[0][0] // 2
+    root = tempfile.mkdtemp(prefix="cdfagg_tbl_")  # leaked until /tmp GC (lazy read)
+    src = SnapshotTable.create(spark, f"{root}/src", _cdc_table_schema(feed),
+                               ["conv_id", "turn_idx"], num_buckets=8)
+    agg_schema = T2.StructType([
+        T2.StructField("conv_id", T2.StringType(), False),
+        T2.StructField("n_rows", T2.LongType(), True),
+        T2.StructField("sum_turn", T2.LongType(), True),
+    ])
+    tgt = SnapshotTable.create(spark, f"{root}/agg", agg_schema,
+                               ["conv_id"], num_buckets=8)
+    sync = AggFeedSync(src, tgt, f"{root}/state", group_cols=["conv_id"],
+                       sum_cols={"sum_turn": "turn_idx"})
+    src.merge(feed.filter(F.col("lsn") <= mid), epoch_id="a")
+    sync.sync_once()  # deltas fold per snapshot, in order
+    src.merge(feed.filter(F.col("lsn") > mid), epoch_id="b")
+    sync.sync_once()
+    return (
+        tgt.read().filter(F.col("n_rows") > 0)
+        .select("conv_id", "n_rows", "sum_turn")
+    )
+
+
 # --------------------------------------------------------------------------- mappers
 
 def q_mapper_normalize_project(spark, sf_dir):
@@ -1144,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_snapshot_diff": q_cdc_snapshot_diff,
         "cdc_rename_final_state": q_cdc_rename_final_state,
         "cdc_changefeed_sync": q_cdc_changefeed_sync,
+        "cdc_changefeed_agg": q_cdc_changefeed_agg,
         "cdc_rollup_final_state": q_cdc_rollup_final_state,
         "mapper_normalize_project": q_mapper_normalize_project,
         "mapper_validity_filter": q_mapper_validity_filter,
@@ -1249,6 +1290,20 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY ts DESC, lsn DESC) AS rn
               FROM feed
             ) WHERE rn = 1 AND op <> 'D'
+        """,
+        # the delta-maintained COUNT/SUM view must equal the direct aggregate
+        # of the LWW live state (DuckDB SUM(int) is HUGEINT — cast to BIGINT)
+        "cdc_changefeed_agg": _FEED_CTE
+        + """
+            SELECT conv_id,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(turn_idx) AS BIGINT) AS sum_turn
+            FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                                           ORDER BY ts DESC, lsn DESC) AS rn
+              FROM feed
+            ) WHERE rn = 1 AND op <> 'D'
+            GROUP BY conv_id
         """,
         "cdc_epoch_window_scan": _FEED_CTE
         + """

@@ -1,6 +1,9 @@
 """Structured Streaming ingest path (SURVEY §2.8)."""
 
-from etl_german_fhir_core_spark.streaming.changefeed import ChangeFeedSync
+from etl_german_fhir_core_spark.streaming.changefeed import (
+    AggFeedSync,
+    ChangeFeedSync,
+)
 from etl_german_fhir_core_spark.streaming.ingest import stream_feed_into_table
 from etl_german_fhir_core_spark.streaming.stateful import (
     streaming_dedup_first_seen,
@@ -14,4 +17,5 @@ __all__ = [
     "streaming_lww_state",
     "streaming_dedup_first_seen",
     "ChangeFeedSync",
+    "AggFeedSync",
 ]

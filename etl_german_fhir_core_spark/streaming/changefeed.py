@@ -68,6 +68,10 @@ class ChangeFeedSync:
         self.store = store
         self.bootstrap = bootstrap
 
+    # diffs are requested with U_pre preimage rows only when the consumer
+    # needs retraction (AggFeedSync); a replica target applies postimages only
+    _preimage = False
+
     # ------------------------------------------------------------------ position
 
     def _pos_blob(self) -> str:
@@ -111,13 +115,21 @@ class ChangeFeedSync:
             return [head]
         while pos < head:
             nxt = pos + 1  # snapshot ids are contiguous (commit = parent + 1)
-            diff = self.source.changes_between(pos, nxt)
-            self.target.merge(diff, epoch_id=f"cdf-{nxt}")
+            diff = self.source.changes_between(
+                pos, nxt, emit_preimage=self._preimage
+            )
+            self._apply(diff, f"cdf-{nxt}")
             self._record(nxt)  # position only advances AFTER the applied merge
             self.target.mark_settled(f"cdf-{nxt}")  # folds at the next commit
             applied.append(nxt)
             pos = nxt
         return applied
+
+    def _apply(self, diff, epoch_id: str) -> None:
+        """Apply one snapshot-step change batch to the target — a keyed LWW
+        merge for the replica default; subclasses reinterpret the batch (e.g.
+        AggFeedSync folds signed deltas). Must be idempotent per epoch_id."""
+        self.target.merge(diff, epoch_id=epoch_id)
 
     def _sync_renames(self) -> None:
         """Replay source column renames on the target BEFORE applying diffs.
@@ -172,3 +184,97 @@ class ChangeFeedSync:
             .foreachBatch(lambda _df, _bid: self.sync_once())
             .start()
         )
+
+
+class AggFeedSync(ChangeFeedSync):
+    """Delta-maintained AGGREGATE view over the change feed — incremental view
+    maintenance (the Delta-CDF IVM pattern): the target table holds per-group
+    COUNT/SUM monoid aggregates updated by SIGNED deltas from each snapshot
+    diff. Postimage rows (op I/U) add their contribution; preimage/delete rows
+    (U_pre/D — requested via ``emit_preimage``) RETRACT the replaced one.
+
+    This is the third rollup mode the engine lacked: RollupSpec ``monoid`` is
+    event-cumulative (a tombstone or LWW-losing update never retracts its
+    contribution) and ``state`` retracts by RESCANNING every touched key's
+    final rows; the CDF delta path retracts exactly while reading ONLY the
+    change batch — O(diff) per sync, never O(table), for the unbounded-feed
+    case where even touched-key rescans are too hot.
+
+    ``group_cols`` key the aggregate (must be the target table's key_cols);
+    ``sum_cols`` maps each target SUM column to the source column it sums; the
+    row count always rides on target column ``n_rows``. The target table's
+    schema therefore is: group_cols + ``n_rows`` (long) + the sum columns. A
+    group whose rows are all deleted converges to ``n_rows = 0`` rather than
+    disappearing (the standard IVM zero-row artifact) — filter ``n_rows > 0``
+    for live groups. Exactly-once: each delta folds via merge_agg under the
+    same ``cdf-<snapshot>`` ledger family as the replica consumer, position
+    advances only after the fold.
+
+    Source column renames are resolved per-batch through the source's rename
+    map (the configured names keep working); the aggregate target itself has
+    derived column names, so the replica-path rename replay is disabled.
+
+    NULL semantics: summed columns fold NULL as 0 (retraction needs an
+    additive identity) — a group whose live values are all NULL reports 0
+    where a direct SQL SUM would report NULL."""
+
+    _preimage = True
+
+    def __init__(
+        self,
+        source: SnapshotTable,
+        target: SnapshotTable,
+        state_path: str,
+        group_cols: list[str],
+        sum_cols: dict[str, str] | None = None,
+        store=None,
+    ):
+        super().__init__(source, target, state_path, store=store, bootstrap=True)
+        self.group_cols = list(group_cols)
+        self.sum_cols = dict(sum_cols or {})
+
+    def _sync_renames(self) -> None:
+        # target columns are derived aggregate names; source renames are
+        # resolved per-batch in _resolve instead of replayed on the target
+        return
+
+    def _resolve(self, df, col: str) -> str:
+        """Current name of a configured source column inside a change batch
+        (tracks source rename_column without reconfiguring the consumer)."""
+        if col in df.columns:
+            return col
+        for new, olds in self.source.manifest().get("renamed_cols", {}).items():
+            if col in olds and new in df.columns:
+                return new
+        raise ValueError(
+            f"configured column {col!r} absent from change batch {df.columns}"
+        )
+
+    def _apply(self, diff, epoch_id: str) -> None:
+        # one narrow projection (group keys + summed columns + sign), then one
+        # hash aggregate over the change batch — the whole sync is O(diff)
+        sign = F.when(F.col("op").isin("I", "U"), F.lit(1)).otherwise(F.lit(-1))
+        narrowed = diff.select(
+            *[F.col(self._resolve(diff, c)).alias(c) for c in self.group_cols],
+            sign.alias("_sign"),
+            *[
+                F.col(self._resolve(diff, s)).alias(s)
+                for s in dict.fromkeys(self.sum_cols.values())
+            ],
+        )
+        aggs = [F.sum("_sign").cast("long").alias("n_rows")]
+        for out, src_col in self.sum_cols.items():
+            aggs.append(
+                F.sum(F.col("_sign") * F.coalesce(F.col(src_col), F.lit(0)))
+                .alias(out)
+            )
+        deltas = narrowed.groupBy(*self.group_cols).agg(*aggs)
+        combine = {"n_rows": "sum", **{k: "sum" for k in self.sum_cols}}
+        self.target.merge_agg(deltas, combine, epoch_id=epoch_id)
+
+    def _bootstrap(self, head: int) -> None:
+        """Seed from the source's current LIVE state: every live row is one
+        'I' postimage, folded as a +1 delta batch under cdf-<head>."""
+        state = self.source.read(snapshot_id=head).withColumn("op", F.lit("I"))
+        self._apply(state, f"cdf-{head}")
+        self.target.mark_settled(f"cdf-{head}")

@@ -14,7 +14,7 @@ from pyspark.sql import types as T
 from etl_german_fhir_core_spark.lake import SnapshotTable
 from etl_german_fhir_core_spark.lake.store import LocalStore
 from etl_german_fhir_core_spark.lake.table import SnapshotExpiredError
-from etl_german_fhir_core_spark.streaming import ChangeFeedSync
+from etl_german_fhir_core_spark.streaming import AggFeedSync, ChangeFeedSync
 
 TS0 = dt.datetime(2025, 1, 1, 0, 0, 0)
 
@@ -197,3 +197,103 @@ def test_foreachbatch_clock_tails_new_snapshots(spark, tmp_path):
     import pandas as pd
 
     pd.testing.assert_frame_equal(_live(src), _live(tgt))
+
+
+def test_agg_feed_delta_maintained_view(spark, tmp_path):
+    """AggFeedSync: a COUNT/SUM view maintained purely from signed diff deltas
+    (U_pre/D retract) must equal the direct aggregate of the source's live
+    state after inserts, payload updates, LWW losers, deletes, and a source
+    column rename — across a crash between fold and position write."""
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("score", T.IntegerType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    src = SnapshotTable.create(spark, str(tmp_path / "src"), schema,
+                               ["conv_id", "turn_idx"], num_buckets=4)
+    agg_schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("n_rows", T.LongType(), True),
+            T.StructField("sum_score", T.LongType(), True),
+        ]
+    )
+    tgt = SnapshotTable.create(spark, str(tmp_path / "agg"), agg_schema,
+                               ["conv_id"], num_buckets=4)
+
+    def _b(rows):
+        return spark.createDataFrame(
+            rows, "op string, lsn long, conv_id string, turn_idx int, "
+            "score int, ts timestamp"
+        )
+
+    def _expected():
+        df = src.read()
+        val = "points" if "points" in df.columns else "score"
+        return {
+            (r["conv_id"]): (r["n"], r["s"])
+            for r in df.groupBy("conv_id")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.coalesce(F.col(val), F.lit(0))).alias("s"))
+            .collect()
+        }
+
+    def _got():
+        return {
+            r["conv_id"]: (r["n_rows"], r["sum_score"])
+            for r in tgt.read().filter(F.col("n_rows") > 0).collect()
+        }
+
+    store = _FailNthPut(fail_on=3)  # 3rd position write crashes
+    sync = AggFeedSync(src, tgt, str(tmp_path / "state"),
+                       group_cols=["conv_id"],
+                       sum_cols={"sum_score": "score"}, store=store)
+
+    src.merge(_b([
+        ("U", 1, "c1", 0, 10, TS0),
+        ("U", 2, "c1", 1, 20, TS0),
+        ("U", 3, "c2", 0, 7, TS0),
+    ]), epoch_id="e000001")
+    sync.sync_once()
+    assert _got() == _expected() == {"c1": (2, 30), "c2": (1, 7)}
+
+    # update changes a value (retraction via U_pre), a stale LWW loser is a
+    # no-op in the source hence absent from the diff, one delete, one insert
+    src.merge(_b([
+        ("U", 10, "c1", 0, 15, TS0 + dt.timedelta(seconds=60)),   # 10 -> 15
+        ("U", 11, "c1", 1, 99, TS0 - dt.timedelta(seconds=60)),   # LWW loser
+        ("D", 12, "c2", 0, None, TS0 + dt.timedelta(seconds=61)),
+        ("U", 13, "c3", 0, 5, TS0),
+    ]), epoch_id="e000002")
+    sync.sync_once()
+    assert _got() == _expected() == {"c1": (2, 35), "c3": (1, 5)}
+    # the fully-deleted group converges to the zero row, hidden by the filter
+    zero = {r["conv_id"]: r["n_rows"] for r in tgt.read().collect()}
+    assert zero["c2"] == 0
+
+    # crash between the fold for snapshot 3 and its position write
+    src.merge(_b([("U", 20, "c3", 1, 6, TS0)]), epoch_id="e000003")
+    with pytest.raises(TimeoutError, match="injected"):
+        sync.sync_once()
+    sids = tgt.current_snapshot_id()
+    sync.sync_once()  # re-derives the same delta -> ledgered idempotent skip
+    assert tgt.current_snapshot_id() == sids  # folded exactly once
+    assert _got() == _expected()
+
+    # source rename of the summed column: the consumer's configured name
+    # resolves through the rename map, no reconfiguration
+    src.rename_column("score", "points", epoch_id="migrate-score")
+    src.merge(
+        spark.createDataFrame(
+            [("U", 30, "c1", 2, 40, TS0)],
+            "op string, lsn long, conv_id string, turn_idx int, "
+            "points int, ts timestamp",
+        ),
+        epoch_id="e000004",
+    )
+    sync.sync_once()
+    assert _got() == _expected()
+    assert _got()["c1"] == (3, 75)
