@@ -150,3 +150,101 @@ def test_changes_between_transforms_a_into_b(_spark, tmp_path_factory, events, s
             assert k in state_a and k in state_b
             derived[k] = r["text"]
     assert derived == state_b
+
+
+@given(
+    events=events_strategy,
+    cuts=st.lists(st.integers(1, 23), min_size=1, max_size=3, unique=True),
+    cadence=st.integers(1, 3),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_changefeed_consumers_converge_on_random_feeds(
+    _spark, tmp_path_factory, events, cuts, cadence
+):
+    """Property: for ANY event sequence merged in ANY epoch slicing, a replica
+    fed only by snapshot diffs (ChangeFeedSync) and a COUNT/SUM view fed only
+    by signed deltas (AggFeedSync) both converge to the source's live state at
+    EVERY sync point, regardless of sync cadence — under ties, tombstones,
+    duplicate keys, out-of-order arrival, and empty epochs."""
+    from etl_german_fhir_core_spark.streaming import AggFeedSync, ChangeFeedSync
+
+    spark = _spark
+    rows = [
+        (
+            i + 1, op, conv, turn,
+            None if op == "D" else "user",
+            None if op == "D" else text,
+            None, TS0 + dt.timedelta(seconds=ts_off),
+        )
+        for i, (conv, turn, op, ts_off, text) in enumerate(events)
+    ]
+    feed = spark.createDataFrame(
+        rows,
+        "lsn long, op string, conv_id string, turn_idx int, role string, "
+        "text string, tool string, ts timestamp",
+    )
+    tmp = tmp_path_factory.mktemp("prop_cdf")
+    src = SnapshotTable.create(
+        spark, str(tmp / "src"), SCHEMA, ["conv_id", "turn_idx"], num_buckets=2
+    )
+    replica = SnapshotTable.create(
+        spark, str(tmp / "rep"), SCHEMA, ["conv_id", "turn_idx"], num_buckets=2
+    )
+    agg = SnapshotTable.create(
+        spark, str(tmp / "agg"),
+        T.StructType([
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("n_rows", T.LongType(), True),
+            T.StructField("sum_turn", T.LongType(), True),
+        ]),
+        ["conv_id"], num_buckets=2,
+    )
+    rep_sync = ChangeFeedSync(src, replica, str(tmp / "rep_state"))
+    agg_sync = AggFeedSync(src, agg, str(tmp / "agg_state"),
+                           group_cols=["conv_id"],
+                           sum_cols={"sum_turn": "turn_idx"})
+
+    def _check():
+        src_live = {
+            (r["conv_id"], r["turn_idx"]): r["text"]
+            for r in src.read().collect()
+        }
+        rep_live = {
+            (r["conv_id"], r["turn_idx"]): r["text"]
+            for r in replica.read().collect()
+        }
+        assert rep_live == src_live
+        from pyspark.sql import functions as F
+
+        expect = {
+            r["conv_id"]: (r["n"], r["s"])
+            for r in src.read().groupBy("conv_id")
+            .agg(F.count("*").alias("n"), F.sum("turn_idx").alias("s"))
+            .collect()
+        }
+        got = {
+            r["conv_id"]: (r["n_rows"], r["sum_turn"])
+            for r in agg.read().filter("n_rows > 0").collect()
+        }
+        assert got == expect
+
+    bounds = sorted(set(min(c, len(rows)) for c in cuts)) + [len(rows)]
+    lo = 0
+    for i, hi in enumerate(b for b in bounds if b > 0):
+        if hi > lo:
+            src.merge(
+                feed.filter((feed.lsn > lo) & (feed.lsn <= hi)),
+                epoch_id=f"e{i + 1:06d}",
+            )
+            lo = hi
+        if (i + 1) % cadence == 0:
+            rep_sync.sync_once()
+            agg_sync.sync_once()
+            _check()
+    rep_sync.sync_once()
+    agg_sync.sync_once()
+    _check()
