@@ -196,6 +196,83 @@ def _pair_jaccard(
     return out
 
 
+def _pair_jaccard_pairwise(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    pairs: DataFrame,
+) -> DataFrame:
+    """Exact n-gram Jaccard for a GIVEN pair set, computed pair-local in ONE job.
+
+    Same semantics as :func:`_pair_jaccard` (identical tokenization — the token
+    array is built JVM-side with the very same normalize/lower/split expression,
+    so shingles are byte-identical; distinct-set Jaccard; pairs with an empty
+    intersection are dropped), but a different scale shape: instead of exploding
+    candidate-doc shingles and routing them through three joins plus two eager
+    materializations (4 sequential Spark jobs — a measured ~10 s constant
+    latency floor on small candidate sets, BENCH/BASELINE.md r05), the raw token
+    arrays ride the pair join and an Arrow-batched ``mapInPandas`` forms both
+    shingle sets and the Jaccard per pair. One shuffle-bounded job, nothing
+    persisted.
+
+    Byte math vs the join verify: this ships each candidate doc's tokens once
+    per pair membership (~2× text bytes at the near-linear pair degree LSH
+    produces), while the join verify explodes shingles (~n× text bytes) and
+    shuffles them three times. Pairwise wins unless a hub doc has pair degree
+    ≫ n — at that point the join verify (``verify="join"``) amortizes the hub
+    doc's shingles across its pairs, so skewed candidate graphs should route
+    there (or cap degree upstream via ``max_df``-style pruning).
+    """
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+
+    from pyspark.sql import types as T
+
+    toks = F.split(F.lower(normalize_text(F.col(text_col))), " ")
+    t = df.select(F.col(id_col).alias("_pj_id"), toks.alias("_pj_toks"))
+    j = (
+        pairs.select("id1", "id2")
+        .join(
+            t.select(F.col("_pj_id").alias("id1"), F.col("_pj_toks").alias("_t1")),
+            "id1",
+        )
+        .join(
+            t.select(F.col("_pj_id").alias("id2"), F.col("_pj_toks").alias("_t2")),
+            "id2",
+        )
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("id1", pairs.schema["id1"].dataType),
+            T.StructField("id2", pairs.schema["id2"].dataType),
+            T.StructField("jaccard", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            m = len(pdf)
+            jac = np.empty(m, dtype=np.float64)
+            keep = np.zeros(m, dtype=bool)
+            t1s = pdf["_t1"].to_numpy()
+            t2s = pdf["_t2"].to_numpy()
+            for i in range(m):
+                t1, t2 = t1s[i], t2s[i]
+                s1 = {" ".join(t1[k : k + n]) for k in range(len(t1) - n + 1)}
+                s2 = {" ".join(t2[k : k + n]) for k in range(len(t2) - n + 1)}
+                inter = len(s1 & s2)
+                if inter:
+                    keep[i] = True
+                    jac[i] = inter / (len(s1) + len(s2) - inter)
+            res = pdf.loc[keep, ["id1", "id2"]].copy()
+            res["jaccard"] = jac[keep]
+            yield res
+
+    return j.mapInPandas(kernel, out_schema)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -226,6 +303,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     verify_threshold: float | None = 0.5,
+    verify: str = "pairwise",
 ) -> DataFrame:
     """MinHash + banded LSH candidate pairs (optionally Jaccard-verified).
 
@@ -273,13 +351,19 @@ def minhash_lsh_pairs(
     # Verification is CANDIDATE-ONLY: Jaccard is computed just for the pairs LSH
     # surfaced (O(candidates)), never by re-running the all-pairs shingle self-join
     # over the corpus — that quadratic join is exactly what LSH exists to avoid.
-    # The pair list is consumed 3x downstream (id1 docs, id2 docs, pair join);
-    # materialize it once or each consumer re-runs the whole signature+bucket
-    # pipeline (measured 18x slower at 40k docs). Two longs per candidate pair —
-    # near-linear in dup count, NOT a wide-row persist.
-    cand = _materialize_small(cand)
-    verified = _pair_jaccard(df, id_col, text_col, n, cand, eager=True)
-    cand.unpersist()
+    if verify == "pairwise":
+        # cand has exactly ONE downstream consumer here, so nothing needs
+        # persisting — the whole pipeline (signatures → buckets → self-join →
+        # pair-local Jaccard) is a single Spark job.
+        verified = _pair_jaccard_pairwise(df, id_col, text_col, n, cand)
+    else:
+        # join verify: the pair list is consumed 3x downstream (id1 docs, id2
+        # docs, pair join); materialize it once or each consumer re-runs the
+        # whole signature+bucket pipeline (measured 18x slower at 40k docs).
+        # Two longs per candidate pair — near-linear in dup count.
+        cand = _materialize_small(cand)
+        verified = _pair_jaccard(df, id_col, text_col, n, cand, eager=True)
+        cand.unpersist()
     return verified.filter(F.col("jaccard") >= verify_threshold).select(
         "id1", "id2", "jaccard"
     )
@@ -460,6 +544,7 @@ def simhash_pairs(
     verify_threshold: float = 0.5,
     group_size: int | None = None,
     max_tables: int = 64,
+    verify: str = "pairwise",
 ) -> DataFrame:
     """Near-dup pairs via SimHash candidates + exact Jaccard verify — the
     end-to-end simhash pipeline (simhash_buckets emits the raw signatures).
@@ -476,6 +561,17 @@ def simhash_pairs(
     sigs = _materialize_small(
         simhash_buckets(df, id_col, text_col, n).select("doc", "simhash")
     )
+    if verify == "pairwise":
+        # single downstream consumer → no candidate persist; the sigs persist
+        # stays (the multi-table plan branches sigs several ways in one job).
+        cand = _simhash_candidates(sigs, max_hamming, group_size, max_tables)
+        verified = _pair_jaccard_pairwise(df, id_col, text_col, n, cand)
+        out = verified.filter(F.col("jaccard") >= verify_threshold).select(
+            "id1", "id2", "jaccard"
+        )
+        out = out.localCheckpoint(eager=True)
+        sigs.unpersist()
+        return out
     cand = _materialize_small(
         _simhash_candidates(sigs, max_hamming, group_size, max_tables)
     )

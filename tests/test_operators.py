@@ -751,6 +751,44 @@ def test_minhash_verified_jaccard_values_match_exact(spark):
         assert exact[pair] == j
 
 
+def test_pairwise_verify_equals_join_verify_on_real_corpus(spark):
+    """verify="pairwise" (Arrow pair-local Jaccard) and verify="join" (shingle
+    inverted-index verify) must produce IDENTICAL pair sets and jaccard values —
+    the pairwise kernel builds its token arrays with the very same JVM-side
+    normalize/lower/split expression, so any divergence is a tokenization or
+    set-math bug. Run on the real sf0.001 documents table (messy text: control
+    chars, long docs), not just the 4-row fixture."""
+    from etl_german_fhir_core_spark.operators.dedup import simhash_pairs
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    kw = dict(n=3, num_hashes=32, bands=8, verify_threshold=0.5)
+    a = {
+        (r["id1"], r["id2"]): round(r["jaccard"], 9)
+        for r in minhash_lsh_pairs(d, "doc_id", "text", verify="pairwise", **kw).collect()
+    }
+    b = {
+        (r["id1"], r["id2"]): round(r["jaccard"], 9)
+        for r in minhash_lsh_pairs(d, "doc_id", "text", verify="join", **kw).collect()
+    }
+    assert a  # the synthetic corpus has near-dups by construction
+    assert a == b
+    sa = {
+        (r["id1"], r["id2"]): round(r["jaccard"], 9)
+        for r in simhash_pairs(
+            d, "doc_id", "text", n=3, max_hamming=12, verify="pairwise"
+        ).collect()
+    }
+    sb = {
+        (r["id1"], r["id2"]): round(r["jaccard"], 9)
+        for r in simhash_pairs(
+            d, "doc_id", "text", n=3, max_hamming=12, verify="join"
+        ).collect()
+    }
+    assert sa == sb
+
+
 def test_dedup_plans_have_no_broadcast_hint(spark):
     """Per-document / per-shingle frames must never be forced into a broadcast —
     at corpus scale they are billions of rows (AQE may still choose to broadcast
