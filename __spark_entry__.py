@@ -1167,6 +1167,117 @@ def q_multimodal_ppm_decode(spark, sf_dir):
     )
 
 
+def q_multimodal_png_decode(spark, sf_dir):
+    """END-TO-END PNG decode on REAL pixel bytes (multimodal/binary.py stdlib
+    zlib + numpy codec): each doc gets a solid-color PNG whose dims/colors are
+    arithmetic functions of doc_id, ENCODED WITH A DIFFERENT SCANLINE FILTER
+    per doc (doc_id % 5 cycles None/Sub/Up/Average/Paeth) — the decoded output
+    must be filter-invariant, so the plain-arithmetic DuckDB oracle validates
+    chunk walking, zlib inflate, and ALL FIVE unfilter branches at once."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_german_fhir_core_spark.multimodal import encode_png, extract_features
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 6 + i % 4, 5 + i % 3
+                arr = np.zeros((h, w, 3), dtype=np.uint8)
+                arr[..., 0] = (i * 3) % 256
+                arr[..., 1] = (i * 11) % 256
+                arr[..., 2] = (i * 19) % 256
+                payloads.append(encode_png(arr, filter_type=i % 5))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    imgs = d.mapInPandas(gen, "doc_id long, payload binary")
+    feats = extract_features(imgs)
+    mean = lambda i: (F.round(F.element_at("feature", i) * 255, 0)).cast("int")
+    return feats.select(
+        "doc_id", "width", "height",
+        mean(1).alias("mean_r"), mean(2).alias("mean_g"), mean(3).alias("mean_b"),
+    )
+
+
+def q_multimodal_wav_features(spark, sf_dir):
+    """END-TO-END audio decode on REAL PCM samples (multimodal/audio.py pure
+    struct/numpy WAV codec): each doc gets a constant-amplitude 16-bit PCM
+    payload whose rate/length/channels/amplitude are arithmetic functions of
+    doc_id; constant signals make mean and RMS exact in int16 full-scale
+    units, so a plain-arithmetic DuckDB SELECT fully oracles the RIFF chunk
+    walk, sample decode, and feature math (a byte-order or channel-interleave
+    bug fails the hash)."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_german_fhir_core_spark.multimodal import (
+        encode_wav,
+        extract_audio_features,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                rate = 8000 + (i % 5) * 1000
+                n = 800 + (i % 7) * 100
+                ch = 1 + i % 2
+                a = ((i * 37) % 30000) - 15000
+                payloads.append(encode_wav(np.full((n, ch), a, np.int16), rate))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    wavs = d.mapInPandas(gen, "doc_id long, payload binary")
+    feats = extract_audio_features(wavs)
+    scaled = lambda i: (F.round(F.element_at("feature", i) * 32768, 0)).cast("int")
+    return feats.select(
+        "doc_id", "sample_rate", "n_samples", "n_channels",
+        scaled(1).alias("mean_i"), scaled(2).alias("rms_i"),
+    )
+
+
+def q_multimodal_video_frames(spark, sf_dir):
+    """END-TO-END video frame sampling on REAL pixel data (multimodal/video.py
+    pure-numpy Y4M codec): each doc gets a YUV4MPEG2 stream of solid-GRAY
+    frames — full-range BT.601 is exactly lossless on R=G=B, so the sampled
+    frames' means are pure arithmetic in (doc_id, frame_idx) and a DuckDB
+    range() unnest oracles the probe, the every-Nth sampling plan, AND the
+    YUV420→RGB conversion (a plane-order or chroma-siting bug fails the hash)."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_german_fhir_core_spark.multimodal import encode_y4m, sample_video_frames
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                nf = 3 + i % 5
+                w, h = 16 + (i % 3) * 2, 8 + (i % 2) * 2
+                frames = [
+                    np.full((h, w, 3), (i * 17 + k * 29) % 256, np.uint8)
+                    for k in range(nf)
+                ]
+                payloads.append(encode_y4m(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    vids = d.mapInPandas(gen, "doc_id long, payload binary")
+    out = sample_video_frames(vids, every_n=2)
+    return out.select(
+        "doc_id", "frame_idx", "width", "height", "n_frames",
+        (F.round(F.element_at("feature", 1) * 255, 0)).cast("int").alias("gray"),
+    )
+
+
 # --------------------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1236,6 +1347,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rest_link_walk": q_rest_link_walk,
         "multimodal_payload_meta": q_multimodal_payload_meta,
         "multimodal_ppm_decode": q_multimodal_ppm_decode,
+        "multimodal_png_decode": q_multimodal_png_decode,
+        "multimodal_wav_features": q_multimodal_wav_features,
+        "multimodal_video_frames": q_multimodal_video_frames,
     }
 
 
@@ -1791,6 +1905,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST((doc_id * 7) % 256 AS INTEGER) AS mean_g,
                    CAST((doc_id * 13) % 256 AS INTEGER) AS mean_b
             FROM documents
+        """,
+        # PNG payloads: solid colors, but a DIFFERENT scanline filter per doc
+        # (doc_id % 5) — decoding must be filter-invariant, so this one oracle
+        # validates all five unfilter branches plus zlib inflate + chunk walk
+        "multimodal_png_decode": """
+            SELECT doc_id,
+                   CAST(6 + doc_id % 4 AS INTEGER) AS width,
+                   CAST(5 + doc_id % 3 AS INTEGER) AS height,
+                   CAST((doc_id * 3) % 256 AS INTEGER) AS mean_r,
+                   CAST((doc_id * 11) % 256 AS INTEGER) AS mean_g,
+                   CAST((doc_id * 19) % 256 AS INTEGER) AS mean_b
+            FROM documents
+        """,
+        # constant-amplitude PCM: mean == amplitude, RMS == |amplitude| (both
+        # exact in int16 full-scale units), rate/shape pure arithmetic
+        "multimodal_wav_features": """
+            SELECT doc_id,
+                   CAST(8000 + (doc_id % 5) * 1000 AS INTEGER) AS sample_rate,
+                   CAST(800 + (doc_id % 7) * 100 AS INTEGER) AS n_samples,
+                   CAST(1 + doc_id % 2 AS INTEGER) AS n_channels,
+                   CAST((doc_id * 37) % 30000 - 15000 AS INTEGER) AS mean_i,
+                   CAST(ABS((doc_id * 37) % 30000 - 15000) AS INTEGER) AS rms_i
+            FROM documents
+        """,
+        # solid-gray Y4M frames roundtrip EXACTLY through full-range BT.601
+        # YUV420, so every-2nd-frame sampling is a range() unnest and the
+        # sampled mean is arithmetic in (doc_id, frame_idx)
+        "multimodal_video_frames": """
+            SELECT doc_id,
+                   CAST(fi AS INTEGER) AS frame_idx,
+                   CAST(16 + (doc_id % 3) * 2 AS INTEGER) AS width,
+                   CAST(8 + (doc_id % 2) * 2 AS INTEGER) AS height,
+                   CAST(3 + doc_id % 5 AS INTEGER) AS n_frames,
+                   CAST((doc_id * 17 + fi * 29) % 256 AS INTEGER) AS gray
+            FROM documents, UNNEST(range(0, 3 + doc_id % 5, 2)) AS t(fi)
         """,
         # dedup_minhash_lsh's VERIFIED output is exact Jaccard on LSH candidates;
         # at the contract band configuration recall is 1.0 on this corpus, so the

@@ -10,6 +10,10 @@ through ``mapInPandas``. The codec layer dispatches on payload format:
 - **BMP (24-bit BI_RGB)** payloads likewise decode/resize on real pixels with a
   pure-numpy codec (``decode_bmp``/``encode_bmp`` — a second, structurally
   different header grammar: little-endian structs, bottom-up padded BGR rows).
+- **PNG (8-bit gray/RGB/RGBA, non-interlaced)** payloads decode on real pixels
+  with a pure-stdlib codec (``decode_png``/``encode_png`` — ``zlib`` inflate +
+  numpy scanline unfiltering, all five PNG filter types) — the most common
+  lossless interchange format needs no image library either.
 - Any other format dispatches to **Pillow when importable** (``HAVE_PIL`` probe
   — not present in this container, but a deployment with Pillow gets real
   PNG/JPEG decode with zero code changes).
@@ -152,15 +156,162 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return rows[:, :, ::-1].copy()  # BGR → RGB
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+PNG_MEDIA_TYPE = "image/png"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # color type -> samples per pixel (8-bit)
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """8-bit truecolor PNG encode of an (h, w, 3) uint8 RGB array — stdlib
+    ``zlib`` + numpy only. ``filter_type`` selects the per-scanline filter
+    (0=None, 1=Sub, 2=Up, 3=Average, 4=Paeth) applied to EVERY row; forward
+    filtering is fully vectorized (it is the *decode* direction that is
+    sequential). All five produce byte-different files decoding to identical
+    pixels, which lets tests drive every unfilter branch through one encoder."""
+    import struct
+    import zlib
+
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) RGB array, got shape {arr.shape}")
+    if filter_type not in range(5):
+        raise ValueError(f"PNG filter type must be 0..4, got {filter_type}")
+    h, w = arr.shape[:2]
+    bpp = 3
+    rows = np.ascontiguousarray(arr, dtype=np.uint8).reshape(h, w * bpp).astype(np.int32)
+    prev = np.vstack([np.zeros((1, w * bpp), np.int32), rows[:-1]])
+    left = np.zeros_like(rows)
+    left[:, bpp:] = rows[:, :-bpp]
+    if filter_type == 0:
+        filt = rows
+    elif filter_type == 1:
+        filt = rows - left
+    elif filter_type == 2:
+        filt = rows - prev
+    elif filter_type == 3:
+        filt = rows - ((left + prev) >> 1)
+    else:  # Paeth
+        upleft = np.zeros_like(rows)
+        upleft[:, bpp:] = prev[:, :-bpp]
+        p = left + prev - upleft
+        pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+        pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft))
+        filt = rows - pred
+    scan = np.hstack(
+        [np.full((h, 1), filter_type, np.uint8), (filt & 0xFF).astype(np.uint8)]
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(scan.tobytes(), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG decode to an (h, w, 3) uint8 RGB array — stdlib ``zlib`` + numpy.
+    Supports 8-bit gray (0), truecolor (2) and truecolor+alpha (6), non-
+    interlaced; multiple IDAT chunks concatenate per the spec. Unfiltering:
+    None/Up are vectorized per row, Sub is a per-channel-lane cumulative sum
+    (the recurrence ``x[i] = raw[i] + x[i-bpp]`` mod 256 is a prefix sum over
+    each byte lane), Average/Paeth fall back to a per-byte loop — PNG's defined
+    left-and-above data dependence makes those two inherently sequential.
+    Raises ValueError on anything outside that envelope (16-bit, palette,
+    interlaced) rather than mis-decoding it."""
+    import struct
+    import zlib
+
+    if not payload.startswith(PNG_MAGIC):
+        raise ValueError("not a PNG payload")
+    pos, idat, hdr = 8, [], None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + tag + data + crc
+        if tag == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if hdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt_method, interlace = hdr
+    if depth != 8 or comp != 0 or filt_method != 0 or interlace != 0:
+        raise ValueError(
+            f"only 8-bit non-interlaced PNG supported "
+            f"(depth={depth}, comp={comp}, interlace={interlace})"
+        )
+    if ctype not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {ctype} (gray/RGB/RGBA only)")
+    ch = _PNG_CHANNELS[ctype]
+    stride = w * ch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if raw.size != h * (stride + 1):
+        raise ValueError("PNG pixel data size mismatch")
+    raw = raw.reshape(h, stride + 1)
+    ftypes, lines = raw[:, 0], raw[:, 1:].astype(np.int32)
+    recon = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f, line = int(ftypes[y]), lines[y]
+        if f == 0:
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif f == 1:  # Sub: prefix sum per byte lane
+            cur = np.empty(stride, dtype=np.int32)
+            for r in range(ch):
+                cur[r::ch] = np.cumsum(line[r::ch]) & 0xFF
+        elif f in (3, 4):
+            cur = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                if f == 3:
+                    cur[x] = (line[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = prev[x - ch] if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+        recon[y] = cur
+        prev = cur
+    img = recon.astype(np.uint8).reshape(h, w, ch)
+    if ch == 1:
+        return np.repeat(img, 3, axis=2)
+    if ch == 4:
+        return img[:, :, :3].copy()
+    return img
+
+
 def decode_image(payload: bytes) -> np.ndarray | None:
-    """Real-pixel decode when a codec applies: P6 PPM and 24-bit BMP through
-    the built-in pure-numpy codecs, anything else through Pillow when
-    importable. Returns None when no real codec is available (the caller falls
-    back to the marked deterministic stub)."""
+    """Real-pixel decode when a codec applies: P6 PPM, 24-bit BMP and 8-bit
+    PNG through the built-in pure-numpy codecs, anything else through Pillow
+    when importable. Returns None when no real codec is available (the caller
+    falls back to the marked deterministic stub)."""
     if payload.startswith(PPM_MAGIC):
         return decode_ppm(payload)
     if payload.startswith(BMP_MAGIC):
         return decode_bmp(payload)
+    if payload.startswith(PNG_MAGIC):
+        return decode_png(payload)
     if HAVE_PIL:  # pragma: no cover - exercised only where Pillow exists
         import io
 
@@ -177,6 +328,8 @@ def _reencode_like(arr: np.ndarray, original: bytes) -> bytes:
         return encode_ppm(arr)
     if original.startswith(BMP_MAGIC):
         return encode_bmp(arr)
+    if original.startswith(PNG_MAGIC):
+        return encode_png(arr)
     if HAVE_PIL:  # pragma: no cover - exercised only where Pillow exists
         import io
 
