@@ -1458,6 +1458,65 @@ class SnapshotTable:
             return MergeResult(epoch_id=epoch_id, skipped=True, snapshot_id=sid)
         return MergeResult(epoch_id=epoch_id, touched_buckets=touched, snapshot_id=sid)
 
+    def rebucket(self, new_num_buckets: int, epoch_id: str) -> MergeResult:
+        """Bucket-LAYOUT evolution: re-hash the whole table into a different
+        bucket count — Iceberg's partition-spec evolution for the bucket
+        transform, for when data outgrows the layout sized at table creation
+        (at 100 TB a 64-bucket table pays ~1.5 TB of CoW rewrite amplification
+        per touched bucket; re-hashing to 4096 restores O(touched) writes).
+
+        One full CoW rewrite — a single shuffle on the new bucket id plus one
+        write, O(table) exactly once — after which every path (merge pruning,
+        read_range skipping, changes_between) uses the new layout from the
+        atomically-flipped manifest. Content-preserving: retained tombstones
+        and meta columns ride along unchanged, and unlike ``overwrite`` the
+        epoch LEDGER and settled watermark are PRESERVED (same data, new
+        layout — resume semantics must not reset). Files are sorted by key
+        within each new bucket (the sort-order rewrite ``compact`` does).
+
+        NOT rebaseable, by construction: every bucket is rewritten, so
+        ``_publish``'s num_buckets guard turns any concurrent commit staged
+        against the old layout into a CommitConflict instead of letting its
+        files land under bucket ids the new hash no longer agrees with.
+        Idempotent per ``epoch_id``; a no-op change (same count) still commits
+        a ledger marker so crash-resume replay stays deterministic."""
+        epoch_id = str(epoch_id)
+        m = self.manifest()
+        if self._has_epoch_m(m, epoch_id):
+            return MergeResult(epoch_id=epoch_id, skipped=True,
+                               snapshot_id=m["snapshot_id"])
+        B = int(new_num_buckets)
+        if B < 1:
+            raise ValueError(f"num_buckets must be >= 1, got {B}")
+        if B == m["num_buckets"]:
+            return self.commit_epoch_marker(epoch_id)
+        key0 = m["key_cols"][0]
+        rows = self.read(include_meta=True).withColumn(
+            BUCKET_COL, _bucket_expr(key0, B)
+        )
+        stage_rel = os.path.join(DATA_DIR, uuid.uuid4().hex)
+        (
+            rows.repartition(B, BUCKET_COL)
+            .sortWithinPartitions(BUCKET_COL, *self.key_cols())
+            .write.partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(self._abs(stage_rel))
+        )
+        staged = self._staged_files(stage_rel)
+        files = {str(b): staged.get(str(b), []) for b in range(B)}
+        sid = self._write_manifest({
+            **m,
+            "snapshot_id": m["snapshot_id"] + 1,
+            "parent_id": m["snapshot_id"],
+            "epoch_id": epoch_id,
+            "num_buckets": B,
+            "files": files,
+            "stats": self._merged_stats({**m, "stats": {}}, list(range(B)), staged),
+            **self._ledger(m, epoch_id),
+        })
+        return MergeResult(epoch_id=epoch_id, touched_buckets=list(range(B)),
+                           snapshot_id=sid)
+
     def expire_tombstones(self, older_than, epoch_id: str) -> MergeResult:
         """Drop retained tombstone rows whose (ts) is older than ``older_than`` — the
         retention watermark. Safe iff no event older than the watermark can still

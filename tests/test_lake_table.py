@@ -540,3 +540,97 @@ def test_vacuum_snapshot_retention(spark, tmp_path):
     # keep_last=1 then reclaims the rest; current still intact
     tbl.vacuum(keep_last=1)
     assert {r["text"] for r in tbl.read().collect()} == {"v2"}
+
+
+def test_rebucket_layout_evolution(spark, tmp_path):
+    """Bucket-layout evolution (Iceberg partition-spec evolution for the bucket
+    transform): rebucket() re-hashes the table into a new bucket count in one
+    CoW rewrite — content identical (incl. retained tombstones), ledger and
+    resume semantics preserved, merges after the flip land under the new
+    layout, and changes_between across the flip sees ZERO row changes."""
+    root = str(tmp_path / "t")
+    tbl = SnapshotTable.create(spark, root, _schema(), ["conv_id", "turn_idx"],
+                               num_buckets=2)
+    rows = [("I", i, f"c{i % 7}", i // 7, "user", f"m{i}", TS0) for i in range(1, 41)]
+    rows.append(("D", 41, "c0", 0, None, None, TS0 + dt.timedelta(seconds=1)))
+    tbl.merge(_batch(spark, rows), epoch_id="e1")
+    before = _state(tbl)
+    before_meta = {
+        (r["conv_id"], r["turn_idx"]): (r["text"], r["_lsn"], r["_deleted"])
+        for r in tbl.read(include_meta=True).collect()
+    }
+    pre_flip = tbl.current_snapshot_id()
+
+    r = tbl.rebucket(8, epoch_id="layout-8")
+    assert not r.skipped and len(r.touched_buckets) == 8
+    m = tbl.manifest()
+    assert m["num_buckets"] == 8 and len(m["files"]) == 8
+    # content-preserving: user view AND meta (lsn, retained tombstone) identical
+    assert _state(tbl) == before
+    after_meta = {
+        (r["conv_id"], r["turn_idx"]): (r["text"], r["_lsn"], r["_deleted"])
+        for r in tbl.read(include_meta=True).collect()
+    }
+    assert after_meta == before_meta
+    assert ("c0", 0) in after_meta and after_meta[("c0", 0)][2]  # tombstone rode along
+
+    # the diff across the flip is EMPTY (same data, new layout)
+    assert tbl.changes_between(pre_flip, tbl.current_snapshot_id()).count() == 0
+
+    # idempotent per epoch id; same-count rebucket is a ledgered no-op marker
+    assert tbl.rebucket(8, epoch_id="layout-8").skipped
+    r_same = tbl.rebucket(8, epoch_id="layout-8-again")
+    assert tbl.manifest()["num_buckets"] == 8
+    assert tbl.has_epoch("layout-8-again")
+
+    # ledger PRESERVED across the flip (unlike overwrite): e1 still committed
+    assert tbl.has_epoch("e1")
+
+    # merges after the flip land under the new layout and prune correctly
+    tbl.merge(_batch(spark, [
+        ("U", 50, "c1", 0, "user", "rehashed", TS0 + dt.timedelta(seconds=9)),
+        ("I", 51, "c9", 0, "user", "new", TS0),
+    ]), epoch_id="e2")
+    got = _state(tbl)
+    assert got[("c1", 0)] == "rehashed" and got[("c9", 0)] == "new"
+    # diff spanning the flip + the merge shows ONLY the merge's rows
+    diff = {(r["op"], r["conv_id"], r["turn_idx"])
+            for r in tbl.changes_between(pre_flip, tbl.current_snapshot_id()).collect()}
+    assert diff == {("U", "c1", 0), ("I", "c9", 0)}
+
+
+def test_rebucket_conflicts_with_concurrent_old_layout_writer(spark, tmp_path):
+    """A commit staged against the OLD layout must fail with CommitConflict
+    after a concurrent rebucket — its CoW files carry bucket ids the new hash
+    disagrees with, so rebase would corrupt co-location silently."""
+    from etl_german_fhir_core_spark.lake.commit import CommitConflict
+
+    root = str(tmp_path / "t")
+    t1 = SnapshotTable.create(spark, root, _schema(), ["conv_id", "turn_idx"],
+                              num_buckets=2)
+    t1.merge(_batch(spark, [("I", 1, "c1", 0, "user", "a", TS0)]), epoch_id="e1")
+    t2 = SnapshotTable.load(spark, root)
+
+    # Pin t1's view of the head to the PRE-rebucket manifest, then let t2's
+    # rebucket land first: t1 stages its CoW files against num_buckets=2,
+    # CAS-loses for real (same target snapshot id), and _publish's layout
+    # guard must re-raise instead of rebasing.
+    stale = t1.manifest()
+    t2.rebucket(4, epoch_id="layout-4")
+    orig = t1.manifest
+    pinned = {"armed": True}
+
+    def stale_once(snapshot_id=None):
+        if pinned["armed"] and snapshot_id is None:
+            pinned["armed"] = False
+            return stale
+        return orig(snapshot_id)
+
+    t1.manifest = stale_once
+    with pytest.raises(CommitConflict):
+        t1.merge(_batch(spark, [("I", 2, "c2", 0, "user", "b", TS0)]), epoch_id="e2")
+    # the losing commit left no trace; the table is intact under the new layout
+    t1.manifest = orig
+    assert not t1.has_epoch("e2")
+    assert t1.manifest()["num_buckets"] == 4
+    assert _state(t1) == {("c1", 0): "a"}
