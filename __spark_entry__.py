@@ -294,6 +294,51 @@ def q_cdc_changefeed_agg(spark, sf_dir):
     )
 
 
+def q_cdc_changefeed_minmax(spark, sf_dir):
+    """Delta-maintained MIN/MAX view over the change feed (streaming/changefeed
+    AggFeedSync min_cols/max_cols — the IVM case monoid folding cannot do:
+    extremes are not retractable, so groups hit by a delete or an LWW
+    replacement are re-aggregated from the source at that step's snapshot,
+    bucket-pruned + semi-joined, under the cdf-<n>/mm maintenance marker;
+    insert-only groups still fold O(diff)). The per-conversation
+    COUNT/SUM/MIN/MAX view maintained only from snapshot diffs across two
+    source merges must equal DuckDB's direct aggregate over the feed's LWW
+    live state — deletes of a conversation's extreme turns included."""
+    import tempfile
+
+    from pyspark.sql import types as T2
+
+    from etl_german_fhir_core_spark.lake import SnapshotTable
+    from etl_german_fhir_core_spark.streaming import AggFeedSync
+
+    feed = _feed(spark, sf_dir)
+    mid = feed.agg(F.max("lsn")).collect()[0][0] // 2
+    root = tempfile.mkdtemp(prefix="cdfmm_tbl_")  # leaked until /tmp GC (lazy read)
+    src = SnapshotTable.create(spark, f"{root}/src", _cdc_table_schema(feed),
+                               ["conv_id", "turn_idx"], num_buckets=8)
+    agg_schema = T2.StructType([
+        T2.StructField("conv_id", T2.StringType(), False),
+        T2.StructField("n_rows", T2.LongType(), True),
+        T2.StructField("sum_turn", T2.LongType(), True),
+        T2.StructField("min_turn", T2.IntegerType(), True),
+        T2.StructField("max_turn", T2.IntegerType(), True),
+    ])
+    tgt = SnapshotTable.create(spark, f"{root}/agg", agg_schema,
+                               ["conv_id"], num_buckets=8)
+    sync = AggFeedSync(src, tgt, f"{root}/state", group_cols=["conv_id"],
+                       sum_cols={"sum_turn": "turn_idx"},
+                       min_cols={"min_turn": "turn_idx"},
+                       max_cols={"max_turn": "turn_idx"})
+    src.merge(feed.filter(F.col("lsn") <= mid), epoch_id="a")
+    sync.sync_once()
+    src.merge(feed.filter(F.col("lsn") > mid), epoch_id="b")
+    sync.sync_once()
+    return (
+        tgt.read().filter(F.col("n_rows") > 0)
+        .select("conv_id", "n_rows", "sum_turn", "min_turn", "max_turn")
+    )
+
+
 # --------------------------------------------------------------------------- mappers
 
 def q_mapper_normalize_project(spark, sf_dir):
@@ -1296,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_rename_final_state": q_cdc_rename_final_state,
         "cdc_changefeed_sync": q_cdc_changefeed_sync,
         "cdc_changefeed_agg": q_cdc_changefeed_agg,
+        "cdc_changefeed_minmax": q_cdc_changefeed_minmax,
         "cdc_rollup_final_state": q_cdc_rollup_final_state,
         "mapper_normalize_project": q_mapper_normalize_project,
         "mapper_validity_filter": q_mapper_validity_filter,
@@ -1412,6 +1458,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id,
                    COUNT(*) AS n_rows,
                    CAST(SUM(turn_idx) AS BIGINT) AS sum_turn
+            FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                                           ORDER BY ts DESC, lsn DESC) AS rn
+              FROM feed
+            ) WHERE rn = 1 AND op <> 'D'
+            GROUP BY conv_id
+        """,
+        "cdc_changefeed_minmax": _FEED_CTE
+        + """
+            SELECT conv_id,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(turn_idx) AS BIGINT) AS sum_turn,
+                   MIN(turn_idx) AS min_turn,
+                   MAX(turn_idx) AS max_turn
             FROM (
               SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
                                            ORDER BY ts DESC, lsn DESC) AS rn

@@ -216,7 +216,30 @@ class AggFeedSync(ChangeFeedSync):
 
     NULL semantics: summed columns fold NULL as 0 (retraction needs an
     additive identity) — a group whose live values are all NULL reports 0
-    where a direct SQL SUM would report NULL."""
+    where a direct SQL SUM would report NULL.
+
+    MIN/MAX maintenance (``min_cols``/``max_cols``): extremes are NOT a group
+    under retraction — deleting the current max says nothing about the next
+    one — so the sync splits each diff the way classic IVM does:
+
+    - **insert-only groups** (no ``D``/``U_pre`` row in this step's diff)
+      fold monoid-style — extremes only widen under inserts, so
+      ``max(stored, incoming)`` is exact, still O(diff);
+    - **dirty groups** (any retraction) are RE-AGGREGATED authoritatively
+      from the source at the diff's ``to`` snapshot — a bucket-pruned scan
+      (when ``group_cols[0]`` is the source's leading key) semi-joined to
+      the dirty keys, O(rows of touched groups), never O(table) — and
+      committed via ``merge_replace_keys`` under the ``cdf-<n>/mm``
+      maintenance marker (orders at its base epoch's index, so the settling
+      ledger family stays contiguous). Replace semantics also mean a fully-
+      deleted group is REMOVED rather than left as the ``n_rows = 0``
+      artifact of the pure-delta mode.
+
+    Crash-safety: both commits are pure functions of (diff, source@to) —
+    clean fold under ``cdf-<n>``, dirty replace under ``cdf-<n>/mm``, keys
+    disjoint by construction — so a crash between them replays to the
+    identical state via each commit's own ledger skip; the position blob
+    advances only after both."""
 
     _preimage = True
 
@@ -227,11 +250,15 @@ class AggFeedSync(ChangeFeedSync):
         state_path: str,
         group_cols: list[str],
         sum_cols: dict[str, str] | None = None,
+        min_cols: dict[str, str] | None = None,
+        max_cols: dict[str, str] | None = None,
         store=None,
     ):
         super().__init__(source, target, state_path, store=store, bootstrap=True)
         self.group_cols = list(group_cols)
         self.sum_cols = dict(sum_cols or {})
+        self.min_cols = dict(min_cols or {})
+        self.max_cols = dict(max_cols or {})
 
     def _sync_renames(self) -> None:
         # target columns are derived aggregate names; source renames are
@@ -251,16 +278,55 @@ class AggFeedSync(ChangeFeedSync):
         )
 
     def _apply(self, diff, epoch_id: str) -> None:
-        # one narrow projection (group keys + summed columns + sign), then one
-        # hash aggregate over the change batch — the whole sync is O(diff)
+        if not self.min_cols and not self.max_cols:
+            self._fold(diff, epoch_id)
+            return
+        # conform the batch's group columns to their CONFIGURED names first so
+        # the clean/dirty split joins line up across a source rename_column
+        ren = {
+            self._resolve(diff, c): c
+            for c in self.group_cols
+            if self._resolve(diff, c) != c
+        }
+        if ren:
+            diff = diff.withColumnsRenamed(ren)
+        # IVM split (docstring): insert-only groups fold, retracted groups
+        # re-aggregate from the source at this step's `to` snapshot. The dirty
+        # key set is diff-sized and consumed by four jobs (emptiness check,
+        # anti-join, bucket-id collect, replace scope) — persist + eager count
+        # so the diff's join plan isn't re-derived per consumer.
+        dirty = (
+            diff.filter(F.col("op").isin("D", "U_pre"))
+            .select(*self.group_cols)
+            .distinct()
+            .persist()
+        )
+        try:
+            if dirty.count() == 0:
+                self._fold(diff, epoch_id)
+                return
+            clean = diff.join(dirty, on=self.group_cols, how="left_anti")
+            self._fold(clean, epoch_id)
+            self.target.merge_replace_keys(
+                self._reaggregate(dirty, self._to_snapshot(epoch_id)),
+                dirty,
+                epoch_id=f"{epoch_id}/mm",
+            )
+        finally:
+            dirty.unpersist()
+
+    def _fold(self, diff, epoch_id: str) -> None:
+        # one narrow projection (group keys + value columns + sign), then one
+        # hash aggregate over the change batch — the whole fold is O(diff)
         sign = F.when(F.col("op").isin("I", "U"), F.lit(1)).otherwise(F.lit(-1))
+        value_srcs = dict.fromkeys(
+            [*self.sum_cols.values(), *self.min_cols.values(),
+             *self.max_cols.values()]
+        )
         narrowed = diff.select(
             *[F.col(self._resolve(diff, c)).alias(c) for c in self.group_cols],
             sign.alias("_sign"),
-            *[
-                F.col(self._resolve(diff, s)).alias(s)
-                for s in dict.fromkeys(self.sum_cols.values())
-            ],
+            *[F.col(self._resolve(diff, s)).alias(s) for s in value_srcs],
         )
         aggs = [F.sum("_sign").cast("long").alias("n_rows")]
         for out, src_col in self.sum_cols.items():
@@ -268,9 +334,69 @@ class AggFeedSync(ChangeFeedSync):
                 F.sum(F.col("_sign") * F.coalesce(F.col(src_col), F.lit(0)))
                 .alias(out)
             )
+        # on the fold path extremes only widen (retractions route to
+        # _reaggregate), so per-batch min/max of the inserted values is exact
+        for out, src_col in self.min_cols.items():
+            aggs.append(F.min(F.col(src_col)).alias(out))
+        for out, src_col in self.max_cols.items():
+            aggs.append(F.max(F.col(src_col)).alias(out))
         deltas = narrowed.groupBy(*self.group_cols).agg(*aggs)
-        combine = {"n_rows": "sum", **{k: "sum" for k in self.sum_cols}}
+        combine = {
+            "n_rows": "sum",
+            **{k: "sum" for k in self.sum_cols},
+            **{k: "min" for k in self.min_cols},
+            **{k: "max" for k in self.max_cols},
+        }
         self.target.merge_agg(deltas, combine, epoch_id=epoch_id)
+
+    @staticmethod
+    def _to_snapshot(epoch_id: str) -> int:
+        """Source snapshot id a ``cdf-<n>`` consumer epoch corresponds to —
+        the re-aggregation must read the source AT this snapshot (never the
+        current head, which may have advanced) so a crash-replay of the /mm
+        commit derives bit-identical state."""
+        return int(str(epoch_id).rsplit("-", 1)[1])
+
+    def _reaggregate(self, dirty, to_snapshot: int):
+        """Authoritative per-group aggregates for the dirty groups, computed
+        from the source's LIVE rows at ``to_snapshot``: bucket-pruned when the
+        leading group column is the source's leading key (the transcripts
+        layout), then a broadcast semi-join narrows the scan to exactly the
+        touched groups. A group with no surviving rows is simply absent —
+        merge_replace_keys turns that absence into removal."""
+        from etl_german_fhir_core_spark.lake.table import _bucket_expr
+
+        buckets = None
+        src_m = self.source.manifest(to_snapshot)
+        if self.group_cols[0] == src_m["key_cols"][0]:
+            buckets = sorted(
+                r[0]
+                for r in dirty.select(
+                    _bucket_expr(self.group_cols[0], src_m["num_buckets"])
+                    .alias("_b")
+                )
+                .distinct()
+                .collect()
+            )
+        state = self.source.read(snapshot_id=to_snapshot, buckets=buckets)
+        value_srcs = dict.fromkeys(
+            [*self.sum_cols.values(), *self.min_cols.values(),
+             *self.max_cols.values()]
+        )
+        scan = state.select(
+            *[F.col(self._resolve(state, c)).alias(c) for c in self.group_cols],
+            *[F.col(self._resolve(state, s)).alias(s) for s in value_srcs],
+        )
+        scoped = scan.join(F.broadcast(dirty), on=self.group_cols, how="semi")
+        aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+        for out, src_col in self.sum_cols.items():
+            # NULL folds as 0 on the delta path; match it here
+            aggs.append(F.sum(F.coalesce(F.col(src_col), F.lit(0))).alias(out))
+        for out, src_col in self.min_cols.items():
+            aggs.append(F.min(F.col(src_col)).alias(out))
+        for out, src_col in self.max_cols.items():
+            aggs.append(F.max(F.col(src_col)).alias(out))
+        return scoped.groupBy(*self.group_cols).agg(*aggs)
 
     def _bootstrap(self, head: int) -> None:
         """Seed from the source's current LIVE state: every live row is one

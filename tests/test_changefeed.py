@@ -297,3 +297,122 @@ def test_agg_feed_delta_maintained_view(spark, tmp_path):
     sync.sync_once()
     assert _got() == _expected()
     assert _got()["c1"] == (3, 75)
+
+
+def test_agg_feed_minmax_dirty_group_reaggregation(spark, tmp_path):
+    """MIN/MAX view maintenance: extremes are not retractable from deltas, so
+    groups with a retraction (D/U_pre) in a step's diff are re-aggregated from
+    the source at that step's snapshot (bucket-pruned + semi-join), committed
+    under the cdf-<n>/mm maintenance marker; insert-only groups still fold
+    monoid-style. Covers: max shrinks when its row is deleted, max shrinks
+    when its row is updated DOWN, fully-deleted group is REMOVED, crash
+    between the clean fold and the /mm replace replays to the same state."""
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("score", T.IntegerType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    src = SnapshotTable.create(spark, str(tmp_path / "src"), schema,
+                               ["conv_id", "turn_idx"], num_buckets=4)
+    agg_schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("n_rows", T.LongType(), True),
+            T.StructField("sum_score", T.LongType(), True),
+            T.StructField("min_score", T.IntegerType(), True),
+            T.StructField("max_score", T.IntegerType(), True),
+        ]
+    )
+    tgt = SnapshotTable.create(spark, str(tmp_path / "agg"), agg_schema,
+                               ["conv_id"], num_buckets=4)
+
+    def _b(rows):
+        return spark.createDataFrame(
+            rows, "op string, lsn long, conv_id string, turn_idx int, "
+            "score int, ts timestamp"
+        )
+
+    def _expected():
+        return {
+            r["conv_id"]: (r["n"], r["s"], r["lo"], r["hi"])
+            for r in src.read().groupBy("conv_id")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.coalesce(F.col("score"), F.lit(0))).alias("s"),
+                 F.min("score").alias("lo"), F.max("score").alias("hi"))
+            .collect()
+        }
+
+    def _got():
+        return {
+            r["conv_id"]: (r["n_rows"], r["sum_score"],
+                           r["min_score"], r["max_score"])
+            for r in tgt.read().collect()
+        }
+
+    sync = AggFeedSync(src, tgt, str(tmp_path / "state"),
+                       group_cols=["conv_id"],
+                       sum_cols={"sum_score": "score"},
+                       min_cols={"min_score": "score"},
+                       max_cols={"max_score": "score"})
+
+    # insert-only step: pure monoid fold, no /mm commit
+    src.merge(_b([
+        ("U", 1, "c1", 0, 10, TS0),
+        ("U", 2, "c1", 1, 50, TS0),
+        ("U", 3, "c2", 0, 7, TS0),
+    ]), epoch_id="e000001")
+    sync.sync_once()
+    assert _got() == _expected() == {"c1": (2, 60, 10, 50), "c2": (1, 7, 7, 7)}
+    assert not tgt.has_epoch("cdf-1/mm")  # clean step never commits the marker
+
+    # the monoid-impossible cases: delete c1's max row; update c2's only row
+    # DOWN; widen c3 insert-only in the same step (stays on the fold path)
+    src.merge(_b([
+        ("D", 10, "c1", 1, None, TS0 + dt.timedelta(seconds=60)),  # kills max 50
+        ("U", 11, "c2", 0, 3, TS0 + dt.timedelta(seconds=61)),     # 7 -> 3
+        ("U", 12, "c3", 0, 5, TS0),
+    ]), epoch_id="e000002")
+    sync.sync_once()
+    assert _got() == _expected() == {
+        "c1": (1, 10, 10, 10), "c2": (1, 3, 3, 3), "c3": (1, 5, 5, 5)
+    }
+
+    # fully-deleted group is REMOVED (replace semantics), not a zero-row
+    src.merge(_b([
+        ("D", 20, "c2", 0, None, TS0 + dt.timedelta(seconds=120)),
+    ]), epoch_id="e000003")
+    sync.sync_once()
+    got = _got()
+    assert "c2" not in got and got == _expected()
+
+    # crash BETWEEN the clean fold (cdf-4) and the /mm replace: replay must
+    # skip the fold, re-derive the identical re-aggregate, and converge
+    src.merge(_b([
+        ("U", 30, "c1", 0, 2, TS0 + dt.timedelta(seconds=180)),   # 10 -> 2
+        ("U", 31, "c4", 0, 9, TS0),                                # clean insert
+    ]), epoch_id="e000004")
+    orig = tgt.merge_replace_keys
+    calls = {"n": 0}
+
+    def crashing(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise TimeoutError("injected: died before the /mm commit")
+        return orig(*a, **k)
+
+    tgt.merge_replace_keys = crashing
+    with pytest.raises(TimeoutError, match="injected"):
+        sync.sync_once()
+    assert sync.position() == 3          # position never advanced
+    assert tgt.has_epoch("cdf-4")        # ...but the clean fold committed
+    sids = tgt.current_snapshot_id()
+    sync.sync_once()                     # fold -> ledgered skip; /mm lands
+    tgt.merge_replace_keys = orig
+    assert tgt.current_snapshot_id() == sids + 1  # exactly one extra commit
+    assert _got() == _expected()
+    assert _got()["c1"] == (1, 2, 2, 2) and _got()["c4"] == (1, 9, 9, 9)
+    # the /mm marker settles with its base epoch: ledger tail stays bounded
+    assert len(tgt.committed_epochs()) <= 2
