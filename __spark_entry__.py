@@ -339,6 +339,34 @@ def q_cdc_changefeed_minmax(spark, sf_dir):
     )
 
 
+def q_cdc_mor_final_state(spark, sf_dir):
+    """MERGE-ON-READ table end to end (lake/table merge_mode='mor' — Iceberg v2
+    row-level deltas / Delta deletion vectors): epochs append per-bucket delta
+    files (write cost O(batch), base never rewritten), reads resolve LWW
+    across base + deltas under (order_cols, _lsn, _src), compact() folds
+    deltas back into the base. The feed is merged in three epochs with a
+    compaction between #2 and #3, so the final read resolves a compacted base
+    against a live delta layer — and must equal the same DuckDB LWW oracle as
+    the CoW path."""
+    import tempfile
+
+    from etl_german_fhir_core_spark.lake import SnapshotTable
+
+    feed = _feed(spark, sf_dir)
+    hi = feed.agg(F.max("lsn")).collect()[0][0]
+    cut1, cut2 = hi // 3, 2 * hi // 3
+    root = tempfile.mkdtemp(prefix="mor_tbl_")  # leaked until /tmp GC (lazy read)
+    tbl = SnapshotTable.create(spark, f"{root}/t", _cdc_table_schema(feed),
+                               ["conv_id", "turn_idx"], num_buckets=8,
+                               merge_mode="mor")
+    tbl.merge(feed.filter(F.col("lsn") <= cut1), epoch_id="e1")
+    tbl.merge(feed.filter((F.col("lsn") > cut1) & (F.col("lsn") <= cut2)),
+              epoch_id="e2")
+    tbl.compact(epoch_id="fold-1")
+    tbl.merge(feed.filter(F.col("lsn") > cut2), epoch_id="e3")
+    return tbl.read().select("conv_id", "turn_idx", "role", "text", "ts")
+
+
 # --------------------------------------------------------------------------- mappers
 
 def q_mapper_normalize_project(spark, sf_dir):
@@ -1342,6 +1370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changefeed_sync": q_cdc_changefeed_sync,
         "cdc_changefeed_agg": q_cdc_changefeed_agg,
         "cdc_changefeed_minmax": q_cdc_changefeed_minmax,
+        "cdc_mor_final_state": q_cdc_mor_final_state,
         "cdc_rollup_final_state": q_cdc_rollup_final_state,
         "mapper_normalize_project": q_mapper_normalize_project,
         "mapper_validity_filter": q_mapper_validity_filter,
@@ -1417,6 +1446,15 @@ def oracle_sql() -> dict[str, str]:
 
     oracles = {
         "cdc_lww_final_state": _FEED_CTE
+        + """
+            SELECT conv_id, turn_idx, role, text, ts FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                                           ORDER BY ts DESC, lsn DESC) AS rn
+              FROM feed
+            ) WHERE rn = 1 AND op <> 'D'
+        """,
+        # MoR storage must be semantically invisible: same LWW oracle as CoW
+        "cdc_mor_final_state": _FEED_CTE
         + """
             SELECT conv_id, turn_idx, role, text, ts FROM (
               SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx

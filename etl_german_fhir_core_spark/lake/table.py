@@ -44,6 +44,10 @@ BUCKET_COL = "_bucket"
 LSN_COL = "_lsn"
 DELETED_COL = "_deleted"
 META_COLS = (LSN_COL, DELETED_COL)
+# MoR delta files persist the committing snapshot ordinal so read-time LWW
+# resolution keeps the CoW merge's "later commit beats earlier on equal
+# (order, lsn)" tie-break; base rows read as 0, so deltas beat base on ties
+SRC_COL = "_src"
 MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
 
@@ -129,6 +133,7 @@ class SnapshotTable:
         order_cols: list[str] | None = None,
         files_per_bucket: int = 1,
         stats_cols: list[str] | None = None,
+        merge_mode: str = "cow",
     ) -> "SnapshotTable":
         """Create an empty table (snapshot 0). ``order_cols`` is the LWW total order
         (default ``[ts, _lsn]``) — must be total or replays diverge (SURVEY §7.3).
@@ -138,7 +143,18 @@ class SnapshotTable:
         ``read_range`` prunes whole buckets from a time/number-window scan
         without opening a single data file. Costs one narrow aggregate over the
         STAGED (touched-bucket) data per commit; leave unset for write-hot
-        tables (the engine's default epoch path tracks nothing)."""
+        tables (the engine's default epoch path tracks nothing).
+
+        ``merge_mode='mor'`` makes :meth:`merge` MERGE-ON-READ (Iceberg v2
+        row-level deltas / Delta deletion-vector model): each epoch appends
+        small per-bucket DELTA files instead of copy-on-writing whole buckets,
+        and reads resolve LWW across base + deltas. Write amplification drops
+        from O(touched-bucket bytes) to O(batch bytes) — at 100 TB / 4096
+        buckets a CoW epoch rewrites ~25 GB per touched bucket, a MoR epoch
+        writes only its own rows — at the cost of read-side resolution until
+        :meth:`compact` folds the deltas back into the base. All other write
+        paths (delete_where, expiry, replace, rebucket, overwrite) stay CoW
+        and clear the buckets' deltas they rewrite."""
         os.makedirs(os.path.join(root, MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(root, DATA_DIR), exist_ok=True)
         tbl = cls(spark, root)
@@ -159,6 +175,8 @@ class SnapshotTable:
             extra.append(T.StructField(DELETED_COL, T.BooleanType(), True))
         if extra:
             schema = T.StructType(list(schema) + extra)
+        if merge_mode not in ("cow", "mor"):
+            raise ValueError(f"merge_mode must be 'cow' or 'mor', got {merge_mode!r}")
         manifest = {
             "snapshot_id": 0,
             "parent_id": None,
@@ -177,6 +195,9 @@ class SnapshotTable:
                 "stats_cols": list(stats_cols or []),
             },
         }
+        if merge_mode == "mor":
+            manifest["merge_mode"] = "mor"
+            manifest["deltas"] = {}
         tbl._write_manifest(manifest)
         return tbl
 
@@ -269,6 +290,16 @@ class SnapshotTable:
                     for b in set(head["files"]) | set(base["files"])
                     if head["files"].get(b) != base["files"].get(b)
                 }
+                # MoR: a bucket whose DELTA list moved was written too — an
+                # append-append race on one bucket is a conflict (relative
+                # _src order between the two deltas would be ambiguous)
+                changed |= {
+                    b
+                    for b in set(head.get("deltas", {}))
+                    | set(base.get("deltas", {}))
+                    if head.get("deltas", {}).get(b)
+                    != base.get("deltas", {}).get(b)
+                }
                 overlap = changed & touched_s
                 if overlap:
                     raise CommitConflict(
@@ -280,8 +311,11 @@ class SnapshotTable:
                     )
                 files = dict(head["files"])
                 stats = dict(head.get("stats", {}))
+                deltas = dict(head.get("deltas", {}))
                 for b in touched_s:
                     files[b] = new_manifest["files"].get(b, [])
+                    if "deltas" in new_manifest:
+                        deltas[b] = new_manifest["deltas"].get(b, [])
                     if b in new_manifest.get("stats", {}):
                         stats[b] = new_manifest["stats"][b]
                     else:
@@ -296,6 +330,7 @@ class SnapshotTable:
                     ),
                     "files": files,
                     "stats": stats,
+                    **({"deltas": deltas} if "deltas" in head else {}),
                     **self._ledger(head, epoch_id),
                 }
                 base = head
@@ -463,28 +498,52 @@ class SnapshotTable:
         renames = {
             k: v for k, v in m.get("renamed_cols", {}).items() if k in cur_names
         }
-        files: list[str] = []
-        for b, fs in m["files"].items():
-            if buckets is None or int(b) in buckets:
-                files.extend(self._abs(f) for f in fs)
-        if not files:
+
+        def _gather(file_map: dict) -> list[str]:
+            out: list[str] = []
+            for b, fs in file_map.items():
+                if buckets is None or int(b) in buckets:
+                    out.extend(self._abs(f) for f in fs)
+            return out
+
+        files = _gather(m["files"])
+        delta_files = _gather(m.get("deltas", {}))
+        if not files and not delta_files:
             df = self.spark.createDataFrame([], schema)
+        elif not delta_files:
+            df = self._scan_files(files, schema, renames)
         else:
-            read_schema = schema
-            if renames:
-                extra = [
-                    T.StructField(o, schema[k].dataType, True)
-                    for k, olds in renames.items()
-                    for o in olds
-                ]
-                read_schema = T.StructType(list(schema.fields) + extra)
-            df = self.spark.read.schema(read_schema).parquet(*files)
-            if renames:
-                for k, olds in renames.items():
-                    df = df.withColumn(
-                        k, F.coalesce(F.col(k), *[F.col(o) for o in olds])
-                    )
-                df = df.select(*[f.name for f in schema])
+            # MERGE-ON-READ resolution: base rows (_src = 0) union the delta
+            # files' rows (each carrying the persisted _src commit ordinal),
+            # then the SAME LWW hash-aggregate the CoW merge runs at write time
+            # — max_by over (order_cols, _lsn, _src) — picks each key's winner.
+            # One shuffle on the key; compact() folds deltas back into the base
+            # and restores the shuffle-free CoW read path.
+            delta_schema = T.StructType(
+                list(schema.fields) + [T.StructField(SRC_COL, T.LongType(), True)]
+            )
+            base = (
+                self._scan_files(files, schema, renames)
+                if files
+                else self.spark.createDataFrame([], schema)
+            ).withColumn(SRC_COL, F.lit(0).cast("long"))
+            deltas = self._scan_files(delta_files, delta_schema, renames)
+            key_cols = m["key_cols"]
+            order_cols = [c for c in m["order_cols"] if c != LSN_COL]
+            value_cols = [f.name for f in schema if f.name not in key_cols]
+            order_struct = F.struct(
+                *[F.col(c) for c in order_cols], F.col(LSN_COL), F.col(SRC_COL)
+            )
+            df = (
+                base.unionByName(deltas)
+                .groupBy(*key_cols)
+                .agg(
+                    F.max_by(
+                        F.struct(*[F.col(c) for c in value_cols]), order_struct
+                    ).alias("_w")
+                )
+                .select(*key_cols, "_w.*")
+            )
         if not include_meta:
             if DELETED_COL in df.columns:
                 # hide retained tombstones from user reads (pushed-down filter)
@@ -492,7 +551,46 @@ class SnapshotTable:
             df = df.drop(*[c for c in META_COLS if c in df.columns])
         return df
 
+    def _scan_files(
+        self, files: list[str], schema: T.StructType, renames: dict
+    ) -> DataFrame:
+        """One explicit-schema Parquet scan over ``files`` with the rename
+        coalesce applied (read each renamed column's former names as extra
+        nullable fields, unify, project back to ``schema``'s names) — shared
+        by the base and MoR-delta sides of :meth:`read`."""
+        read_schema = schema
+        if renames:
+            have = {f.name for f in schema}
+            extra = [
+                T.StructField(o, schema[k].dataType, True)
+                for k, olds in renames.items()
+                for o in olds
+                if k in have
+            ]
+            read_schema = T.StructType(list(schema.fields) + extra)
+        df = self.spark.read.schema(read_schema).parquet(*files)
+        if renames:
+            for k, olds in renames.items():
+                df = df.withColumn(
+                    k, F.coalesce(F.col(k), *[F.col(o) for o in olds])
+                )
+            df = df.select(*[f.name for f in schema])
+        return df
+
     # ---------------------------------------------------------------- write paths
+
+    @staticmethod
+    def _cleared_deltas(m: dict, touched: list[int]) -> dict:
+        """Manifest update clearing the MoR delta lists of buckets a CoW path
+        is rewriting: the rewrite's read-back RESOLVED those deltas, so leaving
+        them live would re-apply them on the next read. Every CoW rewrite site
+        must splat this into its new manifest; no-op on pure-CoW tables."""
+        if "deltas" not in m:
+            return {}
+        deltas = dict(m["deltas"])
+        for b in touched:
+            deltas[str(b)] = []
+        return {"deltas": deltas}
 
     def _stage_buckets(self, df: DataFrame, touched: list[int]) -> dict[str, list[str]]:
         """Write ``df`` (already carrying BUCKET_COL) partitioned by bucket into a
@@ -629,7 +727,10 @@ class SnapshotTable:
             return None
         stats = m.get("stats", {})
         keep = []
-        for b in m["files"]:
+        # deltas included: a MoR bucket may hold rows before any base file
+        # exists for it (its stats were dropped at delta-append, so it is
+        # conservatively kept below)
+        for b in set(m["files"]) | set(m.get("deltas", {})):
             s = stats.get(b, {}).get(col)
             if s is not None and s[0] is not None and s[1] is not None:
                 mn, mx = self._stat_val(s[0], lo), self._stat_val(s[1], hi)
@@ -749,12 +850,21 @@ class SnapshotTable:
         (order_cols, then lsn, then batch-beats-existing); ``op='D'`` removes the key
         (reference tombstone path, PatientMapper.java:132-137). Re-submitting a
         committed ``epoch_id`` is a no-op (exactly-once under at-least-once delivery).
+
+        On a ``merge_mode='mor'`` table the same semantics are delivered as an
+        APPEND of per-bucket delta files (see :meth:`create`) with LWW resolved
+        at read time instead of a touched-bucket rewrite.
         """
         epoch_id = str(epoch_id)
         m = self.manifest()
         if self._has_epoch_m(m, epoch_id):
             return MergeResult(epoch_id=epoch_id, skipped=True,
                                snapshot_id=m["snapshot_id"])
+        if m.get("merge_mode") == "mor":
+            return self._merge_mor(
+                batch, epoch_id, m, op_col=op_col, lsn_col=lsn_col,
+                touched=touched, finalize_payload=finalize_payload,
+            )
 
         key_cols = m["key_cols"]
         order_cols = [c for c in m["order_cols"] if c != LSN_COL]
@@ -863,6 +973,121 @@ class SnapshotTable:
             "schema": json.loads(new_schema.json()),
             "files": files,
             "stats": self._merged_stats(m, touched, staged),
+            **self._cleared_deltas(m, touched),
+            **self._ledger(m, epoch_id),
+        }
+        sid, already = self._publish(new_manifest, m, touched)
+        if already:
+            return MergeResult(epoch_id=epoch_id, skipped=True, snapshot_id=sid)
+        return MergeResult(
+            epoch_id=epoch_id,
+            touched_buckets=touched,
+            rows_upserted=int(stats["up"] or 0),
+            rows_deleted=int(stats["del"] or 0),
+            conflict_count=int(stats["conf"] or 0),
+            snapshot_id=sid,
+        )
+
+    def _merge_mor(
+        self,
+        batch: DataFrame,
+        epoch_id: str,
+        m: dict,
+        op_col: str,
+        lsn_col: str,
+        touched: list[int] | None,
+        finalize_payload,
+    ) -> MergeResult:
+        """MERGE-ON-READ epoch commit (Iceberg v2 row-level delta model): the
+        change batch is pre-resolved WITHIN ITSELF (same max_by hash-aggregate
+        as the CoW path, batch-only — one winner row per key, D-winners carried
+        as tombstone rows) and appended as per-bucket delta files; the base
+        files are never read or rewritten. Reads resolve base ∪ deltas under
+        (order_cols, _lsn, _src) where the persisted ``_src`` is this commit's
+        snapshot ordinal — preserving the CoW total order's batch-beats-existing
+        tie-break across commits. Write cost is O(batch bytes) regardless of
+        how many buckets the batch touches.
+
+        Trade-offs vs CoW, by design: ``conflict_count`` counts batch-internal
+        LWW losers only (cross-epoch conflicts are not visible without reading
+        the base — they resolve at read time instead), and touched buckets'
+        manifest stats are dropped (conservatively read until :meth:`compact`
+        recomputes them)."""
+        key_cols = m["key_cols"]
+        order_cols = [c for c in m["order_cols"] if c != LSN_COL]
+        B = m["num_buckets"]
+
+        batch = self._apply_renames_df(batch, m)
+        batch = batch.withColumn(LSN_COL, F.col(lsn_col).cast("long"))
+        payload_schema = T.StructType(
+            [f for f in batch.schema if f.name not in (op_col, lsn_col)]
+        )
+        new_schema = self._evolve_schema(payload_schema)
+
+        batch = batch.withColumn(BUCKET_COL, _bucket_expr(key_cols[0], B))
+        if touched is None:
+            touched = sorted(
+                r[0] for r in batch.select(BUCKET_COL).distinct().collect()
+            )
+        else:
+            touched = sorted(touched)
+
+        incoming = self._conform(batch, new_schema, carry=[op_col]).withColumn(
+            BUCKET_COL, _bucket_expr(key_cols[0], B)
+        )
+        value_cols = [f.name for f in new_schema] + [op_col, BUCKET_COL]
+        order_struct = F.struct(
+            *[F.col(c) for c in order_cols], F.col(LSN_COL)
+        )
+        winners = (
+            incoming.groupBy(*key_cols)
+            .agg(
+                F.max_by(
+                    F.struct(*[F.col(c) for c in value_cols if c not in key_cols]),
+                    order_struct,
+                ).alias("_w"),
+                F.count(F.lit(1)).alias("_n_batch"),
+            )
+            .select(*key_cols, "_w.*", "_n_batch")
+        )
+        obs = Observation(f"merge-{epoch_id}")
+        winners = winners.observe(
+            obs,
+            F.count(F.when(F.col(op_col) != "D", 1)).alias("up"),
+            F.count(F.when(F.col(op_col) == "D", 1)).alias("del"),
+            F.sum(
+                F.when(F.col("_n_batch") > 1, F.col("_n_batch") - 1).otherwise(0)
+            ).alias("conf"),
+        )
+        final = (
+            winners.withColumn(DELETED_COL, F.col(op_col) == "D")
+            .select(*[f.name for f in new_schema], BUCKET_COL)
+            .withColumn(SRC_COL, F.lit(1).cast("long"))
+        )
+        if finalize_payload is not None:
+            # same contract as the CoW path; every row here is from this batch
+            final = finalize_payload(final)
+        # persist the commit ordinal the read-side resolution orders by
+        final = final.withColumn(
+            SRC_COL, F.lit(m["snapshot_id"] + 1).cast("long")
+        )
+        staged = self._stage_buckets(final, touched)
+        stats = obs.get
+
+        deltas = dict(m.get("deltas", {}))
+        for b in touched:
+            deltas[str(b)] = list(deltas.get(str(b), [])) + staged.get(str(b), [])
+        bucket_stats = dict(m.get("stats", {}))
+        for b in touched:
+            bucket_stats.pop(str(b), None)
+        new_manifest = {
+            **m,
+            "snapshot_id": m["snapshot_id"] + 1,
+            "parent_id": m["snapshot_id"],
+            "epoch_id": epoch_id,
+            "schema": json.loads(new_schema.json()),
+            "deltas": deltas,
+            "stats": bucket_stats,
             **self._ledger(m, epoch_id),
         }
         sid, already = self._publish(new_manifest, m, touched)
@@ -938,6 +1163,7 @@ class SnapshotTable:
             "epoch_id": epoch_id,
             "files": files,
             "stats": self._merged_stats(m, touched, staged),
+            **self._cleared_deltas(m, touched),
             **self._ledger(m, epoch_id),
         }
         sid, already = self._publish(new_manifest, m, touched)
@@ -1009,6 +1235,7 @@ class SnapshotTable:
             "epoch_id": epoch_id,
             "files": files,
             "stats": self._merged_stats(m, touched, staged),
+            **self._cleared_deltas(m, touched),
             **self._ledger(m, epoch_id),
         }
         sid, already = self._publish(new_manifest, m, touched)
@@ -1155,6 +1382,7 @@ class SnapshotTable:
             "schema": json.loads(new_schema.json()),
             "files": {b: fs for b, fs in staged.items()},
             "stats": self._merged_stats({**m, "stats": {}}, touched, staged),
+            **({"deltas": {}} if "deltas" in m else {}),
             # bulk load supersedes incremental history: tail AND settled
             # watermark reset (a stale watermark would mark pre-bulk epoch ids
             # as committed under the new history)
@@ -1201,6 +1429,7 @@ class SnapshotTable:
             "epoch_id": str(epoch_id),
             "files": files,
             "stats": self._merged_stats(m, touched, staged),
+            **self._cleared_deltas(m, touched),
             **self._ledger(m, str(epoch_id)),
         }
         sid, already = self._publish(new_manifest, m, touched)
@@ -1250,8 +1479,14 @@ class SnapshotTable:
         key_cols = mb["key_cols"]
         changed = sorted(
             int(b)
-            for b in set(ma["files"]) | set(mb["files"])
+            for b in set(ma["files"])
+            | set(mb["files"])
+            | set(ma.get("deltas", {}))
+            | set(mb.get("deltas", {}))
             if ma["files"].get(str(b)) != mb["files"].get(str(b))
+            # MoR: a bucket whose delta list moved changed even if its base
+            # files are identical
+            or ma.get("deltas", {}).get(str(b)) != mb.get("deltas", {}).get(str(b))
         )
         payload = [
             f.name
@@ -1423,8 +1658,17 @@ class SnapshotTable:
             return MergeResult(epoch_id=epoch_id, skipped=True,
                                snapshot_id=m["snapshot_id"])
         B = m["num_buckets"]
-        touched = sorted(target_buckets if target_buckets is not None
-                         else [int(b) for b, fs in m["files"].items() if len(fs) > 1])
+        delta_buckets = {
+            int(b) for b, fs in m.get("deltas", {}).items() if fs
+        }
+        touched = sorted(
+            set(target_buckets)
+            if target_buckets is not None
+            # default: multi-file buckets + every bucket holding MoR deltas
+            # (compaction is what folds them back into the shuffle-free base)
+            else {int(b) for b, fs in m["files"].items() if len(fs) > 1}
+            | delta_buckets
+        )
         if not touched:
             return MergeResult(epoch_id=epoch_id, skipped=True,
                                snapshot_id=m["snapshot_id"])
@@ -1452,6 +1696,8 @@ class SnapshotTable:
             "parent_id": m["snapshot_id"],
             "epoch_id": epoch_id,
             "files": files,
+            "stats": self._merged_stats(m, touched, staged),
+            **self._cleared_deltas(m, touched),
             **self._ledger(m, epoch_id),
         }, m, touched)
         if already:
@@ -1512,6 +1758,7 @@ class SnapshotTable:
             "num_buckets": B,
             "files": files,
             "stats": self._merged_stats({**m, "stats": {}}, list(range(B)), staged),
+            **({"deltas": {}} if "deltas" in m else {}),
             **self._ledger(m, epoch_id),
         })
         return MergeResult(epoch_id=epoch_id, touched_buckets=list(range(B)),
@@ -1595,6 +1842,8 @@ class SnapshotTable:
             except FileNotFoundError:
                 break  # keep_last reaches past a previous vacuum's manifest GC
             for fs in m["files"].values():
+                live.update(fs)
+            for fs in m.get("deltas", {}).values():
                 live.update(fs)
             oldest_kept = sid
             sid = m.get("parent_id")
