@@ -141,6 +141,55 @@ def run_headline() -> dict:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    # MoR write-amplification probe (extra metric): the 100 TB CoW failure mode
+    # is a small spread-key epoch touching most buckets and rewriting them all;
+    # merge_mode='mor' appends O(batch) delta files instead. Same seed + the
+    # same 8 small spread-key epochs into a CoW table and a MoR table; report
+    # incremental bytes actually written to each table's data dir (staged-file
+    # bytes, the real write cost) and the amplification ratio.
+    mor_tmp = tempfile.mkdtemp(prefix="bench_mor_")
+    try:
+        probe_feed = synth_feed(spark, 210_000, n_convs=2_000, ooo_frac=0.1)
+        probe_feed.write.mode("overwrite").parquet(f"{mor_tmp}/feed")
+        probe_feed = spark.read.parquet(f"{mor_tmp}/feed")
+
+        def _data_bytes(root: str) -> int:
+            total = 0
+            for dp, _dn, fns in os.walk(os.path.join(root, "data")):
+                for fn in fns:
+                    total += os.path.getsize(os.path.join(dp, fn))
+            return total
+
+        mor_probe: dict = {}
+        for mode in ("cow", "mor"):
+            spark.catalog.clearCache()
+            root = f"{mor_tmp}/tbl_{mode}"
+            tbl = SnapshotTable.create(spark, root, schema,
+                                       ["conv_id", "turn_idx"],
+                                       num_buckets=CPUS, merge_mode=mode)
+            tbl.merge(probe_feed.filter(F.col("lsn") <= 200_000), epoch_id="seed")
+            seed_bytes = _data_bytes(root)
+            t0 = time.time()
+            for i in range(8):
+                lo, hi = 200_000 + i * 1_250, 200_000 + (i + 1) * 1_250
+                tbl.merge(
+                    probe_feed.filter((F.col("lsn") > lo) & (F.col("lsn") <= hi)),
+                    epoch_id=f"inc-{i}",
+                )
+            mor_probe[f"mor_probe_{mode}_inc_sec"] = round(time.time() - t0, 3)
+            mor_probe[f"mor_probe_{mode}_inc_mb"] = round(
+                (_data_bytes(root) - seed_bytes) / 1e6, 2
+            )
+            mor_probe[f"mor_probe_{mode}_rows"] = tbl.read().count()
+        assert mor_probe["mor_probe_cow_rows"] == mor_probe["mor_probe_mor_rows"]
+        mor_probe["mor_probe_write_amplification_x"] = round(
+            mor_probe["mor_probe_cow_inc_mb"]
+            / max(mor_probe["mor_probe_mor_inc_mb"], 0.01), 1
+        )
+        probe_extra = mor_probe
+    finally:
+        shutil.rmtree(mor_tmp, ignore_errors=True)
+
     # Dedup corpus-scale probe (extra metric; headline set unchanged): 8x the
     # sf corpus via word-salted variants (constant dup density), MATERIALIZED to
     # parquet first (the realistic input — a lazy 8-way union would re-pay the
@@ -311,6 +360,7 @@ def run_headline() -> dict:
         "cdc_replay_rep_secs": rep_secs,
         "cores": CPUS,
         "regressions_vs_prior_round": regressions,
+        **probe_extra,
         **probe,
     }
 
