@@ -27,6 +27,11 @@ def main() -> None:
     ap.add_argument("--epoch-rows", type=int, default=100_000)
     ap.add_argument("--events", type=int, default=0, help="synthesize feed of N events first")
     ap.add_argument("--num-buckets", type=int, default=16)
+    ap.add_argument("--merge-mode", choices=["cow", "mor"], default="cow",
+                    help="'mor' appends per-bucket delta files per epoch "
+                         "(write cost O(batch), LWW resolved at read; pair "
+                         "with --compact-every to fold deltas) instead of "
+                         "copy-on-writing whole touched buckets")
     ap.add_argument("--skew-frac", type=float, default=0.0)
     ap.add_argument("--lineage", default=None)
     ap.add_argument("--rollup", default=None,
@@ -89,7 +94,8 @@ def main() -> None:
         tbl = SnapshotTable.load(spark, args.table)
     else:
         tbl = SnapshotTable.create(
-            spark, args.table, schema, ["conv_id", "turn_idx"], num_buckets=args.num_buckets
+            spark, args.table, schema, ["conv_id", "turn_idx"],
+            num_buckets=args.num_buckets, merge_mode=args.merge_mode,
         )
         if args.bulk_until_lsn is not None:
             from pyspark.sql import functions as F

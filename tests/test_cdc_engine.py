@@ -443,3 +443,42 @@ def test_dead_letter_queue_preserves_invalid_rows(spark, tmp_path):
     assert dead.filter("lsn = 2").collect()[0]["text"] == "missing conv"  # payload kept
     state = {(r["conv_id"], r["turn_idx"]) for r in eng.table.read().collect()}
     assert state == {("c1", 0)}
+
+
+def test_mor_engine_state_equivalence_and_resume(spark, tmp_path):
+    """The full engine driving a merge_mode='mor' target: every epoch appends
+    delta files (base never rewritten), scheduled compaction folds them, and
+    the final state equals both the pandas oracle and a kill-and-resume run —
+    MoR storage must be semantically invisible to the engine."""
+    feed_path = str(tmp_path / "feed")
+    _mk_feed(spark, feed_path)
+
+    def _mor_engine(root, **kw):
+        tbl = (
+            SnapshotTable.load(spark, root)
+            if SnapshotTable.exists(root)
+            else SnapshotTable.create(
+                spark, root, TARGET_SCHEMA, ["conv_id", "turn_idx"],
+                num_buckets=8, merge_mode="mor",
+            )
+        )
+        kw.setdefault("epoch_rows", 1000)
+        return CdcEngine(spark, feed_path, tbl, **kw)
+
+    # uninterrupted, with mid-run compaction folding deltas into the base
+    eng_a = _mor_engine(str(tmp_path / "tbl_a"), compact_every=2)
+    eng_a.run()
+    _assert_state_equal(_final_state(eng_a.table), _oracle_state(spark, feed_path))
+
+    # pure-delta run: 4 epochs, zero base writes outside compaction
+    eng_b1 = _mor_engine(str(tmp_path / "tbl_b"))
+    eng_b1.run(max_epochs=2)
+    m = eng_b1.table.manifest()
+    assert m["files"] == {}  # base untouched by MoR epochs
+    assert sum(len(fs) for fs in m["deltas"].values()) > 0
+    eng_b2 = _mor_engine(str(tmp_path / "tbl_b"))
+    eng_b2.run()
+
+    a = _final_state(eng_a.table)
+    b = _final_state(eng_b2.table)
+    pd.testing.assert_frame_equal(a, b)  # bit-identical across storage layouts
