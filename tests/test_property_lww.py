@@ -248,3 +248,59 @@ def test_changefeed_consumers_converge_on_random_feeds(
     rep_sync.sync_once()
     agg_sync.sync_once()
     _check()
+
+
+@given(events=events_strategy, do_compact=st.booleans())
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_mor_lww_state_matches_oracle_on_random_feeds(
+    _spark, tmp_path_factory, events, do_compact
+):
+    """Merge-on-read storage property: for RANDOM adversarial feeds (ts ties,
+    duplicate keys, tombstones, out-of-order arrival) split into tiny epochs,
+    a MoR table's read-time resolution — optionally after a delta-folding
+    compaction — must equal the same sequential pandas oracle as CoW. The
+    storage layout must never be observable in the resolved state."""
+    spark = _spark
+    rows = [
+        (
+            i + 1,
+            op,
+            conv,
+            turn,
+            None if op == "D" else "user",
+            None if op == "D" else text,
+            None,
+            TS0 + dt.timedelta(seconds=ts_off),
+        )
+        for i, (conv, turn, op, ts_off, text) in enumerate(events)
+    ]
+    feed = spark.createDataFrame(
+        rows,
+        "lsn long, op string, conv_id string, turn_idx int, role string, "
+        "text string, tool string, ts timestamp",
+    )
+    tmp = tmp_path_factory.mktemp("prop_mor")
+    feed_path = str(tmp / "feed")
+    feed.write.parquet(feed_path)
+
+    tbl = SnapshotTable.create(
+        spark, str(tmp / "tbl"), SCHEMA, ["conv_id", "turn_idx"],
+        num_buckets=2, merge_mode="mor",
+    )
+    CdcEngine(spark, feed_path, tbl, epoch_rows=5, normalize=False).run()
+    assert tbl.manifest()["files"] == {}  # epochs never wrote base files
+    if do_compact:
+        tbl.compact(epoch_id="fold")
+        assert all(not fs for fs in tbl.manifest()["deltas"].values())
+
+    got = (
+        tbl.read().toPandas()[["conv_id", "turn_idx", "text", "ts"]]
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    expect = replay_oracle(feed.toPandas())[["conv_id", "turn_idx", "text", "ts"]]
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
