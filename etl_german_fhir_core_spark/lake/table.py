@@ -506,25 +506,44 @@ class SnapshotTable:
                     out.extend(self._abs(f) for f in fs)
             return out
 
-        files = _gather(m["files"])
         delta_files = _gather(m.get("deltas", {}))
-        if not files and not delta_files:
-            df = self.spark.createDataFrame([], schema)
-        elif not delta_files:
-            df = self._scan_files(files, schema, renames)
+        if not delta_files:
+            files = _gather(m["files"])
+            df = (
+                self._scan_files(files, schema, renames)
+                if files
+                else self.spark.createDataFrame([], schema)
+            )
         else:
-            # MERGE-ON-READ resolution: base rows (_src = 0) union the delta
-            # files' rows (each carrying the persisted _src commit ordinal),
-            # then the SAME LWW hash-aggregate the CoW merge runs at write time
-            # — max_by over (order_cols, _lsn, _src) — picks each key's winner.
-            # One shuffle on the key; compact() folds deltas back into the base
-            # and restores the shuffle-free CoW read path.
+            # MERGE-ON-READ resolution, scoped to the DIRTY buckets only: a
+            # bucket co-locates every key's base and delta rows, so buckets
+            # without deltas need no resolution — they scan shuffle-free,
+            # exactly as on a CoW table. Dirty buckets union their base rows
+            # (_src = 0) with the delta rows (persisted _src commit ordinal)
+            # and run the SAME LWW hash-aggregate the CoW merge runs at write
+            # time — max_by over (order_cols, _lsn, _src). The read-side
+            # shuffle is therefore O(un-compacted fraction), not O(selection);
+            # compact() folds deltas and restores the all-clean fast path.
+            dirty = {
+                b
+                for b, fs in m["deltas"].items()
+                if fs and (buckets is None or int(b) in buckets)
+            }
+            clean_files = [
+                self._abs(f)
+                for b, fs in m["files"].items()
+                if b not in dirty and (buckets is None or int(b) in buckets)
+                for f in fs
+            ]
+            dirty_base_files = [
+                self._abs(f) for b in dirty for f in m["files"].get(b, [])
+            ]
             delta_schema = T.StructType(
                 list(schema.fields) + [T.StructField(SRC_COL, T.LongType(), True)]
             )
             base = (
-                self._scan_files(files, schema, renames)
-                if files
+                self._scan_files(dirty_base_files, schema, renames)
+                if dirty_base_files
                 else self.spark.createDataFrame([], schema)
             ).withColumn(SRC_COL, F.lit(0).cast("long"))
             deltas = self._scan_files(delta_files, delta_schema, renames)
@@ -544,6 +563,8 @@ class SnapshotTable:
                 )
                 .select(*key_cols, "_w.*")
             )
+            if clean_files:
+                df = self._scan_files(clean_files, schema, renames).unionByName(df)
         if not include_meta:
             if DELETED_COL in df.columns:
                 # hide retained tombstones from user reads (pushed-down filter)

@@ -217,3 +217,39 @@ def test_mor_rebucket_resolves_then_rehashes(spark, tmp_path):
     assert m["num_buckets"] == 8
     assert all(not fs for fs in m.get("deltas", {}).values())
     assert _full_state(mor) == state
+
+
+def test_mor_resolution_scoped_to_dirty_buckets(spark, tmp_path):
+    """Read-time resolution is O(un-compacted fraction), not O(selection):
+    buckets without deltas scan shuffle-free like CoW. After compacting only
+    some buckets, a read restricted to a clean bucket must plan NO resolution
+    aggregate, while the full read (mixed clean + dirty) stays correct."""
+    mor = _mk(spark, str(tmp_path / "t"), "mor")
+    _run_epochs(mor)
+    state = _full_state(mor)
+    m = mor.manifest()
+    delta_buckets = sorted(int(b) for b, fs in m["deltas"].items() if fs)
+    assert len(delta_buckets) >= 2
+    keep_dirty = delta_buckets[0]
+    mor.compact(
+        epoch_id="partial",
+        target_buckets=[b for b in delta_buckets if b != keep_dirty],
+    )
+    m2 = mor.manifest()
+    assert m2["deltas"][str(keep_dirty)]  # still dirty
+    clean = [int(b) for b in m2["files"] if not m2["deltas"].get(b)]
+    assert clean
+
+    # mixed read: clean fast path union resolved dirty bucket — same state
+    assert _full_state(mor) == state
+
+    # clean-bucket slice pays zero resolution (the pruning payoff)
+    plan = (
+        mor.read(buckets=clean[:1])._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "max_by" not in plan
+    # dirty-bucket slice does resolve
+    plan_d = (
+        mor.read(buckets=[keep_dirty])._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "max_by" in plan_d
