@@ -253,3 +253,64 @@ def test_mor_resolution_scoped_to_dirty_buckets(spark, tmp_path):
         mor.read(buckets=[keep_dirty])._jdf.queryExecution().optimizedPlan().toString()
     )
     assert "max_by" in plan_d
+
+
+def test_mor_concurrent_delta_appends_rebase_when_disjoint(spark, tmp_path):
+    """Two writers appending MoR deltas concurrently: disjoint buckets rebase
+    (both epochs land, union state), the same bucket conflicts (relative _src
+    order between the two delta files would be ambiguous)."""
+    from etl_german_fhir_core_spark.lake.commit import CommitConflict
+    from etl_german_fhir_core_spark.lake.table import _bucket_expr
+
+    root = str(tmp_path / "t")
+    t1 = _mk(spark, root, "mor")
+    t2 = SnapshotTable.load(spark, root)
+
+    # find conv ids landing in two different buckets (and two sharing one)
+    ids = spark.createDataFrame(
+        [(f"k{i}",) for i in range(32)], "conv_id string"
+    ).select("conv_id", _bucket_expr("conv_id", 4).alias("b")).collect()
+    by_bucket: dict[int, list[str]] = {}
+    for r in ids:
+        by_bucket.setdefault(r["b"], []).append(r["conv_id"])
+    (b1, ks1), (b2, ks2) = sorted(by_bucket.items())[:2]
+
+    # writer 1 plans against the empty head; writer 2 commits first
+    stale = t1.manifest()
+    t2.merge(_batch(spark, [("I", 1, ks2[0], 0, "w2", TS0)]), epoch_id="w2-e1")
+
+    orig = t1.manifest
+    armed = {"on": True}
+
+    def stale_once(snapshot_id=None):
+        if armed["on"] and snapshot_id is None:
+            armed["on"] = False
+            return stale
+        return orig(snapshot_id)
+
+    # DISJOINT bucket: t1's delta append rebases onto t2's commit
+    t1.manifest = stale_once
+    r = t1.merge(_batch(spark, [("I", 2, ks1[0], 0, "w1", TS0)]), epoch_id="w1-e1")
+    t1.manifest = orig
+    assert not r.skipped
+    live = {k: v[0] for k, v in _full_state(t1).items() if not v[2]}
+    assert live == {(ks2[0], 0): "w2", (ks1[0], 0): "w1"}
+    assert t1.has_epoch("w1-e1") and t1.has_epoch("w2-e1")
+
+    # SAME bucket: append-append must conflict, not silently interleave
+    stale2 = t1.manifest()
+    t2.merge(_batch(spark, [("I", 3, ks1[1], 0, "w2b", TS0)]), epoch_id="w2-e2")
+    armed["on"] = True
+
+    def stale2_once(snapshot_id=None):
+        if armed["on"] and snapshot_id is None:
+            armed["on"] = False
+            return stale2
+        return orig(snapshot_id)
+
+    t1.manifest = stale2_once
+    with pytest.raises(CommitConflict):
+        t1.merge(_batch(spark, [("I", 4, ks1[2], 0, "w1b", TS0)]),
+                 epoch_id="w1-e2")
+    t1.manifest = orig
+    assert not t1.has_epoch("w1-e2")
