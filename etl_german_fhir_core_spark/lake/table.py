@@ -549,20 +549,15 @@ class SnapshotTable:
             deltas = self._scan_files(delta_files, delta_schema, renames)
             key_cols = m["key_cols"]
             order_cols = [c for c in m["order_cols"] if c != LSN_COL]
-            value_cols = [f.name for f in schema if f.name not in key_cols]
-            order_struct = F.struct(
-                *[F.col(c) for c in order_cols], F.col(LSN_COL), F.col(SRC_COL)
-            )
-            df = (
-                base.unionByName(deltas)
-                .groupBy(*key_cols)
-                .agg(
-                    F.max_by(
-                        F.struct(*[F.col(c) for c in value_cols]), order_struct
-                    ).alias("_w")
-                )
-                .select(*key_cols, "_w.*")
-            )
+            df = self._lww_winners(
+                base.unionByName(deltas),
+                key_cols,
+                order_cols,
+                [f.name for f in schema],
+                tiebreak_cols=(SRC_COL,),
+                # project back to SCHEMA order: read()'s column order must not
+                # depend on storage state (dirty vs compacted)
+            ).select(*[f.name for f in schema])
             if clean_files:
                 df = self._scan_files(clean_files, schema, renames).unionByName(df)
         if not include_meta:
@@ -571,6 +566,40 @@ class SnapshotTable:
                 df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
             df = df.drop(*[c for c in META_COLS if c in df.columns])
         return df
+
+    @staticmethod
+    def _lww_winners(
+        df: DataFrame,
+        key_cols: list[str],
+        order_cols: list[str],
+        value_cols: list[str],
+        tiebreak_cols: tuple = (),
+        extra_aggs: dict | None = None,
+    ) -> DataFrame:
+        """THE LWW winner definition — one hash aggregate per key:
+        ``max_by(struct(value_cols), struct(*order_cols, _lsn,
+        *tiebreak_cols))``. Write-time resolution (CoW merge, MoR delta
+        pre-resolution) and read-time resolution (MoR base∪deltas) all call
+        this one function; encoding the total order anywhere else risks the
+        two sides silently diverging. ``extra_aggs`` ({name: Column}) ride the
+        same aggregate (e.g. batch-row counts for conflict metrics).
+
+        Plan shape: hash aggregate with map-side partial aggregation (a
+        conflict-heavy input shuffles ~distinct keys, not ~rows), no sort, no
+        full-row sorter copies — measured ~3x faster than a row_number()
+        window on wide text rows."""
+        extra_aggs = dict(extra_aggs or {})
+        order_struct = F.struct(
+            *[F.col(c) for c in [*order_cols, LSN_COL, *tiebreak_cols]]
+        )
+        out = df.groupBy(*key_cols).agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in value_cols if c not in key_cols]),
+                order_struct,
+            ).alias("_w"),
+            *[col.alias(n) for n, col in extra_aggs.items()],
+        )
+        return out.select(*key_cols, "_w.*", *extra_aggs.keys())
 
     def _scan_files(
         self, files: list[str], schema: T.StructType, renames: dict
@@ -926,26 +955,15 @@ class SnapshotTable:
         )
 
         combined = existing.unionByName(incoming)
-        # LWW resolution as a HASH AGGREGATE, not a sort window: max_by over the
-        # total order (order_cols, _lsn, _src). Partial aggregation collapses
-        # same-key duplicates map-side BEFORE the shuffle (a conflict-heavy batch
-        # shuffles ~distinct-keys, not ~events), there is no per-partition sort, and
-        # no full-row copy into a sorter — measured ~3x faster and far lower GC
-        # churn than the row_number() window on wide text rows.
+        # LWW resolution via the ONE shared winner aggregate (_lww_winners):
+        # max_by over the total order (order_cols, _lsn, _src) — batch rows
+        # (_src=1) beat existing on ties; _n_batch rides the same aggregate
+        # for the conflict metric.
         value_cols = [f.name for f in new_schema] + [op_col, "_src", BUCKET_COL]
-        order_struct = F.struct(
-            *[F.col(c) for c in order_cols], F.col(LSN_COL), F.col("_src")
-        )
-        winners = (
-            combined.groupBy(*key_cols)
-            .agg(
-                F.max_by(
-                    F.struct(*[F.col(c) for c in value_cols if c not in key_cols]),
-                    order_struct,
-                ).alias("_w"),
-                F.sum("_src").alias("_n_batch"),
-            )
-            .select(*key_cols, "_w.*", "_n_batch")
+        winners = self._lww_winners(
+            combined, key_cols, order_cols, value_cols,
+            tiebreak_cols=("_src",),
+            extra_aggs={"_n_batch": F.sum("_src")},
         )
         # Lineage stats ride on the write itself via Observation — computed while the
         # staging write materializes the plan, so the epoch costs exactly ONE pass
@@ -1057,19 +1075,9 @@ class SnapshotTable:
             BUCKET_COL, _bucket_expr(key_cols[0], B)
         )
         value_cols = [f.name for f in new_schema] + [op_col, BUCKET_COL]
-        order_struct = F.struct(
-            *[F.col(c) for c in order_cols], F.col(LSN_COL)
-        )
-        winners = (
-            incoming.groupBy(*key_cols)
-            .agg(
-                F.max_by(
-                    F.struct(*[F.col(c) for c in value_cols if c not in key_cols]),
-                    order_struct,
-                ).alias("_w"),
-                F.count(F.lit(1)).alias("_n_batch"),
-            )
-            .select(*key_cols, "_w.*", "_n_batch")
+        winners = self._lww_winners(
+            incoming, key_cols, order_cols, value_cols,
+            extra_aggs={"_n_batch": F.count(F.lit(1))},
         )
         obs = Observation(f"merge-{epoch_id}")
         winners = winners.observe(
@@ -1233,8 +1241,17 @@ class SnapshotTable:
             .collect()
         )
         schema = self.schema()
+        # NULL-SAFE scoping: Spark doesn't enforce key nullability on write,
+        # and callers (e.g. the change feed's dirty-group replace) may scope a
+        # NULL-valued group key; plain `on=` equality would keep the existing
+        # NULL-key row while the replacement unions in — a silent duplicate.
+        scope_keys = keys.select(
+            *[F.col(c).alias(f"_sk_{c}") for c in scope_cols]
+        )
         kept = self.read(buckets=touched, include_meta=True).join(
-            keys, on=scope_cols, how="left_anti"
+            scope_keys,
+            on=[F.col(c).eqNullSafe(F.col(f"_sk_{c}")) for c in scope_cols],
+            how="left_anti",
         )
         final = self._conform(kept, schema)
         if agg is not None:

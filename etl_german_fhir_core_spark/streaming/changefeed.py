@@ -265,12 +265,18 @@ class AggFeedSync(ChangeFeedSync):
         # resolved per-batch in _resolve instead of replayed on the target
         return
 
+    _rmap: dict | None = None
+
     def _resolve(self, df, col: str) -> str:
         """Current name of a configured source column inside a change batch
-        (tracks source rename_column without reconfiguring the consumer)."""
+        (tracks source rename_column without reconfiguring the consumer).
+        The rename map is cached per applied step (_apply resets it) — one
+        manifest read per step at most, not one per configured column."""
         if col in df.columns:
             return col
-        for new, olds in self.source.manifest().get("renamed_cols", {}).items():
+        if self._rmap is None:
+            self._rmap = self.source.manifest().get("renamed_cols", {})
+        for new, olds in self._rmap.items():
             if col in olds and new in df.columns:
                 return new
         raise ValueError(
@@ -278,6 +284,7 @@ class AggFeedSync(ChangeFeedSync):
         )
 
     def _apply(self, diff, epoch_id: str) -> None:
+        self._rmap = None  # re-read the rename map at most once per step
         if not self.min_cols and not self.max_cols:
             self._fold(diff, epoch_id)
             return
@@ -305,7 +312,22 @@ class AggFeedSync(ChangeFeedSync):
             if dirty.count() == 0:
                 self._fold(diff, epoch_id)
                 return
-            clean = diff.join(dirty, on=self.group_cols, how="left_anti")
+            # NULL-SAFE anti-join: a nullable group column's NULL group must
+            # split dirty like any other (plain `on=` uses null-unsafe
+            # equality, which would leak the NULL group's retractions into
+            # the fold while the re-aggregation missed it — stale extremes).
+            # Aliased key frame also avoids self-join lineage ambiguity.
+            d_keys = dirty.select(
+                *[F.col(c).alias(f"_dk_{c}") for c in self.group_cols]
+            )
+            clean = diff.join(
+                d_keys,
+                on=[
+                    F.col(c).eqNullSafe(F.col(f"_dk_{c}"))
+                    for c in self.group_cols
+                ],
+                how="left_anti",
+            )
             self._fold(clean, epoch_id)
             self.target.merge_replace_keys(
                 self._reaggregate(dirty, self._to_snapshot(epoch_id)),
@@ -387,7 +409,15 @@ class AggFeedSync(ChangeFeedSync):
             *[F.col(self._resolve(state, c)).alias(c) for c in self.group_cols],
             *[F.col(self._resolve(state, s)).alias(s) for s in value_srcs],
         )
-        scoped = scan.join(F.broadcast(dirty), on=self.group_cols, how="semi")
+        # null-safe semi (see _apply): the NULL group must be recomputed too
+        d_keys = dirty.select(
+            *[F.col(c).alias(f"_dk_{c}") for c in self.group_cols]
+        )
+        scoped = scan.join(
+            F.broadcast(d_keys),
+            on=[F.col(c).eqNullSafe(F.col(f"_dk_{c}")) for c in self.group_cols],
+            how="semi",
+        )
         aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
         for out, src_col in self.sum_cols.items():
             # NULL folds as 0 on the delta path; match it here

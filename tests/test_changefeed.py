@@ -416,3 +416,70 @@ def test_agg_feed_minmax_dirty_group_reaggregation(spark, tmp_path):
     assert _got()["c1"] == (1, 2, 2, 2) and _got()["c4"] == (1, 9, 9, 9)
     # the /mm marker settles with its base epoch: ledger tail stays bounded
     assert len(tgt.committed_epochs()) <= 2
+
+
+def test_agg_feed_minmax_null_group_key(spark, tmp_path):
+    """A NULLABLE group column's NULL group is a group like any other: its
+    retractions must route to the dirty re-aggregation (null-safe anti/semi
+    joins), not leak into the monoid fold — else a lowered maximum would stay
+    stale forever. Also: deleting the NULL group's last row removes it."""
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("label", T.StringType(), True),
+            T.StructField("score", T.IntegerType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    src = SnapshotTable.create(spark, str(tmp_path / "src"), schema,
+                               ["conv_id", "turn_idx"], num_buckets=4)
+    agg_schema = T.StructType(
+        [
+            T.StructField("label", T.StringType(), True),
+            T.StructField("n_rows", T.LongType(), True),
+            T.StructField("max_score", T.IntegerType(), True),
+        ]
+    )
+    tgt = SnapshotTable.create(spark, str(tmp_path / "agg"), agg_schema,
+                               ["label"], num_buckets=4)
+
+    def _b(rows):
+        return spark.createDataFrame(
+            rows, "op string, lsn long, conv_id string, turn_idx int, "
+            "label string, score int, ts timestamp"
+        )
+
+    def _got():
+        return {
+            r["label"]: (r["n_rows"], r["max_score"])
+            for r in tgt.read().collect()
+        }
+
+    sync = AggFeedSync(src, tgt, str(tmp_path / "state"),
+                       group_cols=["label"],
+                       max_cols={"max_score": "score"})
+
+    src.merge(_b([
+        ("I", 1, "c1", 0, None, 99, TS0),
+        ("I", 2, "c1", 1, None, 5, TS0),
+        ("I", 3, "c2", 0, "A", 7, TS0),
+    ]), epoch_id="e000001")
+    sync.sync_once()
+    assert _got() == {None: (2, 99), "A": (1, 7)}
+
+    # lower the NULL group's maximum: 99 -> 3 (dirty via U_pre; the null-safe
+    # split must re-aggregate the NULL group, leaving max 5)
+    src.merge(_b([
+        ("U", 10, "c1", 0, None, 3, TS0 + dt.timedelta(seconds=60)),
+    ]), epoch_id="e000002")
+    sync.sync_once()
+    assert _got() == {None: (2, 5), "A": (1, 7)}
+
+    # delete the NULL group's remaining rows: the group is REMOVED
+    src.merge(_b([
+        ("D", 20, "c1", 0, None, None, TS0 + dt.timedelta(seconds=120)),
+        ("D", 21, "c1", 1, None, None, TS0 + dt.timedelta(seconds=121)),
+    ]), epoch_id="e000003")
+    sync.sync_once()
+    assert _got() == {"A": (1, 7)}
