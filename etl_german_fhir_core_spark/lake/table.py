@@ -473,6 +473,7 @@ class SnapshotTable:
         snapshot_id: int | None = None,
         buckets: list[int] | None = None,
         include_meta: bool = False,
+        tag: str | None = None,
     ) -> DataFrame:
         """Snapshot read. Explicit schema → Spark null-fills columns that predate a
         file (additive evolution); column pruning & filter pushdown still apply.
@@ -483,7 +484,15 @@ class SnapshotTable:
         the two, the other null-fills) and ``coalesce(current, former...)``
         unifies them — one scan, no per-file schema bookkeeping, column pruning
         intact (only the name pair is read for a renamed column)."""
-        if snapshot_id is not None and snapshot_id < self.oldest_readable_snapshot():
+        if tag is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id or tag, not both")
+            snapshot_id = self.tags()[tag]  # KeyError on unknown tag, by design
+        if (
+            snapshot_id is not None
+            and snapshot_id < self.oldest_readable_snapshot()
+            and snapshot_id not in set(self.tags().values())  # tags stay live
+        ):
             # same eager named failure as changes_between (VERDICT r04 wrong
             # #3): time travel behind vacuum's retention window would otherwise
             # die lazily with a file-not-found deep inside a Spark job
@@ -1503,6 +1512,10 @@ class SnapshotTable:
         oldest = self.oldest_readable_snapshot()
         stale = [s for s in (from_snapshot, to_snapshot) if s < oldest]
         if stale:
+            # tagged snapshots are vacuum-retained: diffing FROM a pinned
+            # corpus version to head is legal at any lag
+            stale = [s for s in stale if s not in set(self.tags().values())]
+        if stale:
             # EAGER named failure instead of a lazy file-not-found deep inside
             # the diff's Spark job (VERDICT r04 wrong #3): the endpoint lies
             # behind vacuum's retention window, so its data files may be gone.
@@ -1886,6 +1899,18 @@ class SnapshotTable:
             oldest_kept = sid
             sid = m.get("parent_id")
             seen += 1
+        # tagged snapshots are pinned OUTSIDE the keep_last window: their data
+        # files, MoR deltas, and manifest JSONs all stay live until drop_tag
+        tagged = set(self.tags().values())
+        for tsid in tagged:
+            try:
+                tm = self.manifest(tsid)
+            except FileNotFoundError:
+                continue  # tag predates an old vacuum (pre-tags table); moot
+            for fs in tm["files"].values():
+                live.update(fs)
+            for fs in tm.get("deltas", {}).values():
+                live.update(fs)
         removed = 0
         data_abs = self._abs(DATA_DIR)
         for dirpath, _dirnames, filenames in os.walk(data_abs):
@@ -1910,7 +1935,8 @@ class SnapshotTable:
         mdir = os.path.join(self.root, MANIFEST_DIR)
         for f in os.listdir(mdir):
             if f.startswith("snapshot-") and f.endswith(".json"):
-                if int(f[len("snapshot-"):-len(".json")]) < oldest_kept:
+                fsid = int(f[len("snapshot-"):-len(".json")])
+                if fsid < oldest_kept and fsid not in tagged:
                     os.unlink(os.path.join(mdir, f))
                     removed += 1
         tmp = os.path.join(mdir, ".oldest-readable.tmp")
@@ -1921,9 +1947,58 @@ class SnapshotTable:
 
     def oldest_readable_snapshot(self) -> int:
         """Oldest snapshot id whose data files are guaranteed present (advanced
-        by vacuum's retention walk; 0 before any vacuum)."""
+        by vacuum's retention walk; 0 before any vacuum). Tagged snapshots
+        (:meth:`tag`) remain readable even below this watermark — vacuum
+        retains them explicitly."""
         p = os.path.join(self.root, MANIFEST_DIR, ".oldest-readable")
         if not os.path.exists(p):
             return 0
         with open(p) as fh:
             return int(json.load(fh)["oldest_readable_snapshot"])
+
+    # ---------------------------------------------------------------- tags
+
+    def _tags_path(self) -> str:
+        return os.path.join(self.root, MANIFEST_DIR, "tags.json")
+
+    def tags(self) -> dict[str, int]:
+        """Named snapshot pins (Iceberg tags): {name: snapshot_id}."""
+        p = self._tags_path()
+        if not os.path.exists(p):
+            return {}
+        with open(p) as fh:
+            return {k: int(v) for k, v in json.load(fh).items()}
+
+    def _write_tags(self, tags: dict[str, int]) -> None:
+        tmp = self._tags_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(tags, fh, sort_keys=True)
+        os.replace(tmp, self._tags_path())
+
+    def tag(self, name: str, snapshot_id: int | None = None) -> int:
+        """Pin a snapshot under ``name`` (Iceberg tag) — e.g. the exact corpus
+        version a model trained on. Vacuum RETAINS tagged snapshots (data
+        files, MoR deltas, and the manifest JSON) regardless of ``keep_last``,
+        and time travel / diffing to a tagged snapshot stays legal below the
+        ``.oldest-readable`` watermark. Re-tagging an existing name moves it.
+        Returns the pinned snapshot id."""
+        sid = int(self.current_snapshot_id() if snapshot_id is None else snapshot_id)
+        tags = self.tags()
+        if sid < self.oldest_readable_snapshot() and sid not in set(tags.values()):
+            raise SnapshotExpiredError(
+                f"cannot tag snapshot {sid}: it precedes the oldest "
+                f"vacuum-retained snapshot {self.oldest_readable_snapshot()} "
+                f"of {self.root} (its data files may already be reclaimed)"
+            )
+        self.manifest(sid)  # must exist — fail eagerly, not at first read
+        tags[str(name)] = sid
+        self._write_tags(tags)
+        return sid
+
+    def drop_tag(self, name: str) -> int:
+        """Remove a tag; the snapshot becomes reclaimable by the NEXT vacuum
+        (nothing is deleted here). Returns the snapshot id it pointed at."""
+        tags = self.tags()
+        sid = tags.pop(str(name))  # KeyError on unknown tag, by design
+        self._write_tags(tags)
+        return sid

@@ -634,3 +634,45 @@ def test_rebucket_conflicts_with_concurrent_old_layout_writer(spark, tmp_path):
     assert not t1.has_epoch("e2")
     assert t1.manifest()["num_buckets"] == 4
     assert _state(t1) == {("c1", 0): "a"}
+
+
+def test_snapshot_tags_pin_through_vacuum(spark, tmp_path):
+    """Iceberg-style snapshot tags: a tagged snapshot (e.g. the corpus version
+    a model trained on) survives vacuum regardless of keep_last — data files,
+    manifest JSON, time travel, and diff-from-tag all keep working below the
+    .oldest-readable watermark; drop_tag releases it to the NEXT vacuum."""
+    root = str(tmp_path / "t")
+    tbl = SnapshotTable.create(spark, root, _schema(), ["conv_id", "turn_idx"],
+                               num_buckets=2)
+    tbl.merge(_batch(spark, [("I", 1, "c1", 0, "user", "v1", TS0)]), epoch_id="e1")
+    assert tbl.tag("train-v1") == 1
+    for i in range(2, 6):
+        tbl.merge(_batch(spark, [
+            ("U", i, "c1", 0, "user", f"v{i}", TS0 + dt.timedelta(seconds=i))
+        ]), epoch_id=f"e{i}")
+
+    tbl.vacuum(keep_last=1)
+    assert tbl.oldest_readable_snapshot() == 5
+    # the pinned snapshot still reads (files + manifest retained)...
+    assert {r["text"] for r in tbl.read(tag="train-v1").collect()} == {"v1"}
+    assert {r["text"] for r in tbl.read(snapshot_id=1).collect()} == {"v1"}
+    # ...and diffing from the pin to head is legal at any lag
+    diff = tbl.changes_between(1, tbl.current_snapshot_id()).collect()
+    assert [(r["op"], r["text"]) for r in diff] == [("U", "v5")]
+    # untagged snapshots behind the watermark still fail eagerly
+    with pytest.raises(Exception, match="precede|precedes"):
+        tbl.read(snapshot_id=3)
+
+    # re-tag moves the name; tagging behind the watermark is refused
+    tbl.tag("train-v1", 5)
+    from etl_german_fhir_core_spark.lake.table import SnapshotExpiredError
+    with pytest.raises(SnapshotExpiredError):
+        tbl.tag("too-old", 1)
+
+    # drop + vacuum reclaims; the guard then rejects the old pin
+    tbl.drop_tag("train-v1")
+    tbl.vacuum(keep_last=1)
+    with pytest.raises(Exception, match="precede|precedes"):
+        tbl.read(snapshot_id=1)
+    with pytest.raises(KeyError):
+        tbl.read(tag="train-v1")
