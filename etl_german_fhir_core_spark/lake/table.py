@@ -777,6 +777,57 @@ class SnapshotTable:
             }
         return stats
 
+    def _widened_stats(self, m: dict, touched: list[int], staged: dict) -> dict:
+        """Per-bucket stats for a MoR delta append: WIDEN the existing bounds
+        with the staged batch's bounds. Bounds only ever grow, so read_range
+        skipping stays SOUND — and stays EFFECTIVE on write-hot MoR tables
+        instead of degrading to conservative full reads until compaction. A
+        bucket whose existing bounds are unknown stays unknown (its base/older
+        deltas have unknown content) until compact() recomputes from the full
+        resolved rows; an all-null batch column leaves the old bounds standing
+        (NULLs never satisfy a range predicate)."""
+        cols = m.get("properties", {}).get("stats_cols") or []
+        stats = dict(m.get("stats", {}))
+        if not cols:
+            return stats
+        paths = [p for fs in staged.values() for p in fs]
+        if not paths:
+            return stats
+        stage_rel = paths[0].split("/" + BUCKET_COL + "=")[0]
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+        rows = (
+            self.spark.read.parquet(self._abs(stage_rel))
+            .groupBy(BUCKET_COL)
+            .agg(*aggs)
+            .collect()
+        )
+        for r in rows:
+            b = str(r[BUCKET_COL])
+            old = stats.get(b)
+            if old is None:
+                continue  # unknown older content stays unknown (kept on read)
+            ent = {}
+            for c in cols:
+                o = old.get(c)
+                if o is None or o[0] is None or o[1] is None:
+                    ent = None  # one unknown column poisons the bucket entry
+                    break
+                mn, mx = r[f"_mn_{c}"], r[f"_mx_{c}"]
+                if mn is None:
+                    ent[c] = [o[0], o[1]]
+                else:
+                    ent[c] = [
+                        self._stat_ser(min(self._stat_val(o[0], mn), mn)),
+                        self._stat_ser(max(self._stat_val(o[1], mx), mx)),
+                    ]
+            if ent is None:
+                stats.pop(b, None)
+            else:
+                stats[b] = ent
+        return stats
+
     def _range_buckets(self, col: str, lo, hi) -> list[int] | None:
         """Buckets whose [min, max] for ``col`` overlaps [lo, hi] — the
         manifest-level skip decision. None (= read everything) when the column
@@ -1059,8 +1110,9 @@ class SnapshotTable:
         Trade-offs vs CoW, by design: ``conflict_count`` counts batch-internal
         LWW losers only (cross-epoch conflicts are not visible without reading
         the base — they resolve at read time instead), and touched buckets'
-        manifest stats are dropped (conservatively read until :meth:`compact`
-        recomputes them)."""
+        manifest stats are WIDENED with the batch's bounds rather than
+        recomputed (sound: bounds only grow; a superseded extreme over-widens
+        until :meth:`compact` tightens them)."""
         key_cols = m["key_cols"]
         order_cols = [c for c in m["order_cols"] if c != LSN_COL]
         B = m["num_buckets"]
@@ -1115,9 +1167,6 @@ class SnapshotTable:
         deltas = dict(m.get("deltas", {}))
         for b in touched:
             deltas[str(b)] = list(deltas.get(str(b), [])) + staged.get(str(b), [])
-        bucket_stats = dict(m.get("stats", {}))
-        for b in touched:
-            bucket_stats.pop(str(b), None)
         new_manifest = {
             **m,
             "snapshot_id": m["snapshot_id"] + 1,
@@ -1125,7 +1174,7 @@ class SnapshotTable:
             "epoch_id": epoch_id,
             "schema": json.loads(new_schema.json()),
             "deltas": deltas,
-            "stats": bucket_stats,
+            "stats": self._widened_stats(m, touched, staged),
             **self._ledger(m, epoch_id),
         }
         sid, already = self._publish(new_manifest, m, touched)

@@ -314,3 +314,53 @@ def test_mor_concurrent_delta_appends_rebase_when_disjoint(spark, tmp_path):
                  epoch_id="w1-e2")
     t1.manifest = orig
     assert not t1.has_epoch("w1-e2")
+
+
+def test_mor_stats_widen_keeps_range_skipping(spark, tmp_path):
+    """MoR delta appends WIDEN a bucket's tracked [min, max] instead of
+    dropping it: read_range still prunes out-of-window buckets on a write-hot
+    MoR table, finds rows added by deltas (bounds grew to cover them), and a
+    bucket with no base stats history stays conservatively readable."""
+    tbl = SnapshotTable.create(
+        spark, str(tmp_path / "t"),
+        T.StructType([
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]),
+        ["conv_id", "turn_idx"], num_buckets=4,
+        stats_cols=["ts"], merge_mode="mor",
+    )
+
+    def _b(rows):
+        return spark.createDataFrame(
+            rows, "op string, lsn long, conv_id string, turn_idx int, "
+            "text string, ts timestamp")
+
+    # seed through compact so every bucket has known base bounds around TS0
+    tbl.merge(_b([("I", i, f"c{i}", 0, "seed", TS0) for i in range(1, 17)]),
+              epoch_id="seed")
+    tbl.compact(epoch_id="fold-0")
+    m0 = tbl.manifest()
+    assert all("ts" in s for s in m0["stats"].values())
+
+    # a delta append far in the future must WIDEN its bucket's bounds...
+    late = TS0 + dt.timedelta(days=30)
+    tbl.merge(_b([("I", 100, "c1", 9, "late", late)]), epoch_id="late")
+    m1 = tbl.manifest()
+    from etl_german_fhir_core_spark.lake.table import _bucket_expr
+    b1 = (spark.createDataFrame([("c1",)], "conv_id string")
+          .select(_bucket_expr("conv_id", 4).alias("b")).collect()[0]["b"])
+    assert m1["stats"][str(b1)]["ts"][1] > m0["stats"][str(b1)]["ts"][1]
+
+    # ...so a window query over the late range both PRUNES (not every bucket
+    # is scanned) and FINDS the delta row
+    pruned = tbl._range_buckets("ts", late - dt.timedelta(hours=1),
+                                late + dt.timedelta(hours=1))
+    assert pruned is not None and len(pruned) < 4
+    got = tbl.read_range("ts", late - dt.timedelta(hours=1),
+                         late + dt.timedelta(hours=1)).collect()
+    assert [(r["conv_id"], r["turn_idx"]) for r in got] == [("c1", 9)]
+    # the seed window still prunes nothing incorrectly: all 16 seeds found
+    assert tbl.read_range("ts", TS0, TS0).count() == 16
