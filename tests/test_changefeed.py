@@ -483,3 +483,67 @@ def test_agg_feed_minmax_null_group_key(spark, tmp_path):
     ]), epoch_id="e000003")
     sync.sync_once()
     assert _got() == {"A": (1, 7)}
+
+
+def test_agg_feed_over_mor_source(spark, tmp_path):
+    """Integration of the round's two features: AggFeedSync (with MIN/MAX
+    dirty-group re-aggregation) tailing a MERGE-ON-READ source — diffs span
+    delta-append commits and a compaction, and the maintained view equals the
+    direct aggregate of the source's resolved live state."""
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("score", T.IntegerType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    src = SnapshotTable.create(spark, str(tmp_path / "src"), schema,
+                               ["conv_id", "turn_idx"], num_buckets=4,
+                               merge_mode="mor")
+    agg_schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("n_rows", T.LongType(), True),
+            T.StructField("max_score", T.IntegerType(), True),
+        ]
+    )
+    tgt = SnapshotTable.create(spark, str(tmp_path / "agg"), agg_schema,
+                               ["conv_id"], num_buckets=4)
+
+    def _b(rows):
+        return spark.createDataFrame(
+            rows, "op string, lsn long, conv_id string, turn_idx int, "
+            "score int, ts timestamp")
+
+    def _expected():
+        return {
+            r["conv_id"]: (r["n"], r["hi"])
+            for r in src.read().groupBy("conv_id")
+            .agg(F.count("*").alias("n"), F.max("score").alias("hi"))
+            .collect()
+        }
+
+    def _got():
+        return {r["conv_id"]: (r["n_rows"], r["max_score"])
+                for r in tgt.read().collect()}
+
+    sync = AggFeedSync(src, tgt, str(tmp_path / "state"),
+                       group_cols=["conv_id"],
+                       max_cols={"max_score": "score"})
+
+    src.merge(_b([("I", 1, "c1", 0, 10, TS0),
+                  ("I", 2, "c1", 1, 50, TS0),
+                  ("I", 3, "c2", 0, 7, TS0)]), epoch_id="e1")
+    sync.sync_once()
+    assert _got() == _expected() == {"c1": (2, 50), "c2": (1, 7)}
+
+    # delete the max (dirty re-aggregation reads the MoR source at that
+    # snapshot), then compact the source mid-stream, then keep appending
+    src.merge(_b([("D", 10, "c1", 1, None, TS0 + dt.timedelta(seconds=60))]),
+              epoch_id="e2")
+    src.compact(epoch_id="fold")
+    src.merge(_b([("I", 20, "c3", 0, 9, TS0)]), epoch_id="e3")
+    applied = sync.sync_once()
+    assert len(applied) == 3  # delta commit, compaction, delta commit
+    assert _got() == _expected() == {"c1": (1, 10), "c2": (1, 7), "c3": (1, 9)}
