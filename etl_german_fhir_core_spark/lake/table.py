@@ -1741,6 +1741,7 @@ class SnapshotTable:
         epoch_id: str,
         target_buckets: list[int] | None = None,
         sort_cols: list[str] | None = None,
+        min_deltas: int = 1,
     ) -> MergeResult:
         """Rewrite each (selected) bucket's files into one file per bucket — the
         small-file compaction a CoW table needs after many salted multi-file writes
@@ -1751,7 +1752,12 @@ class SnapshotTable:
         key columns) — Iceberg's sort-order rewrite: Parquet writes row-group
         min/max on sorted columns, so a key-point or key-range filter skips
         whole row groups inside the (already bucket-pruned) file. Pass [] to
-        skip sorting."""
+        skip sorting.
+
+        ``min_deltas`` (MoR tables): fold only buckets holding at least that
+        many delta files — at 100 TB a maintenance pass should rewrite the
+        deep delta chains (where read-side resolution cost concentrates), not
+        every bucket a single small delta ever touched. Default 1 folds all."""
         epoch_id = str(epoch_id)
         m = self.manifest()
         if self._has_epoch_m(m, epoch_id):
@@ -1759,7 +1765,9 @@ class SnapshotTable:
                                snapshot_id=m["snapshot_id"])
         B = m["num_buckets"]
         delta_buckets = {
-            int(b) for b, fs in m.get("deltas", {}).items() if fs
+            int(b)
+            for b, fs in m.get("deltas", {}).items()
+            if len(fs) >= max(int(min_deltas), 1)
         }
         touched = sorted(
             set(target_buckets)

@@ -364,3 +364,30 @@ def test_mor_stats_widen_keeps_range_skipping(spark, tmp_path):
     assert [(r["conv_id"], r["turn_idx"]) for r in got] == [("c1", 9)]
     # the seed window still prunes nothing incorrectly: all 16 seeds found
     assert tbl.read_range("ts", TS0, TS0).count() == 16
+
+
+def test_mor_compact_min_deltas_folds_deep_chains_only(spark, tmp_path):
+    """compact(min_deltas=k) folds only buckets with >= k delta files — the
+    maintenance pass rewrites the deep chains where read-side resolution cost
+    concentrates, not every bucket one small delta ever touched."""
+    mor = _mk(spark, str(tmp_path / "t"), "mor")
+    # c1 gets 3 epochs of deltas; cX keys get 1 each
+    for i in range(3):
+        mor.merge(_batch(spark, [("I", 10 + i, "c1", i, f"a{i}", TS0)]),
+                  epoch_id=f"hot-{i}")
+    mor.merge(_batch(spark, [("I", 50, "c2", 0, "b", TS0),
+                             ("I", 51, "c3", 0, "c", TS0)]), epoch_id="cold")
+    state = _full_state(mor)
+    m = mor.manifest()
+    deep = {b for b, fs in m["deltas"].items() if len(fs) >= 3}
+    shallow = {b for b, fs in m["deltas"].items() if 0 < len(fs) < 3}
+    assert deep and shallow
+
+    r = mor.compact(epoch_id="fold-deep", min_deltas=3)
+    m2 = mor.manifest()
+    assert set(map(str, r.touched_buckets)) == deep
+    for b in deep:
+        assert m2["deltas"][b] == [] and m2["files"][b]
+    for b in shallow:
+        assert m2["deltas"][b] == m["deltas"][b]  # untouched
+    assert _full_state(mor) == state
