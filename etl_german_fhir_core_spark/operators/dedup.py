@@ -24,6 +24,61 @@ from pyspark.sql.window import Window
 from etl_german_fhir_core_spark.functions.text import normalize_text
 
 
+_NJP_SIDE_CACHE: dict = {}
+_NJP_STAGES: list[str] = []
+
+
+def _njp_register_stage(path: str) -> None:
+    """Track a staged kernel side for atexit cleanup — stages live on tmpfs
+    (/dev/shm) for I/O determinism, so they must not outlive the driver
+    process. They cannot be deleted earlier: the returned frame reads them
+    lazily for the caller's whole session."""
+    if not _NJP_STAGES:
+        import atexit
+        import shutil
+
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _NJP_STAGES]
+        )
+    _NJP_STAGES.append(path)
+
+
+def _njp_load_side(path: str):
+    """Load the staged (doc, sz, _hs) side of ngram_jaccard_pairs' kernel ONCE
+    per Python worker (guide §4.5: heavyweight init cached in a module-level
+    global keyed by path+pid so reused workers keep it across tasks; single
+    entry so successive stagings replace, never accumulate). Returns
+    (hashes sorted ascending, doc-index per hash, doc ids, set sizes)."""
+    import os
+
+    import numpy as np
+
+    key = (path, os.getpid())
+    hit = _NJP_SIDE_CACHE.get("side")
+    if hit is not None and hit[0] == key:
+        return hit[1]
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["doc", "sz", "_hs"])
+    doc = t.column("doc").to_numpy(zero_copy_only=False)
+    sz = t.column("sz").to_numpy(zero_copy_only=False)
+    flat, lens = [], []
+    for chunk in t.column("_hs").chunks:
+        flat.append(chunk.flatten().to_numpy(zero_copy_only=False))
+        lens.append(pc.list_value_length(chunk).to_numpy(zero_copy_only=False))
+    if flat:
+        h = np.concatenate(flat)
+        idx = np.repeat(np.arange(len(doc)), np.concatenate(lens).astype(np.int64))
+    else:
+        h = np.empty(0, np.int64)
+        idx = np.empty(0, np.int64)
+    order = np.argsort(h, kind="stable")
+    data = (h[order], idx[order], doc, sz)
+    _NJP_SIDE_CACHE["side"] = (key, data)
+    return data
+
+
 def _materialize_small(df: DataFrame) -> DataFrame:
     """Persist AND eagerly populate (count) a small multi-consumer frame.
 
@@ -46,25 +101,27 @@ def _shingle_rows(
     """Word n-gram shingles of the normalized, lowercased text, as exploded
     (doc, shingle) rows — DISTINCT per doc by default (set-Jaccard semantics).
 
-    Built with posexplode + lead() over a per-doc window instead of an
-    array-transform HOF: higher-order-function lambdas evaluate interpreted per
-    element (outside whole-stage codegen) and measured 6x slower than this shape
-    at sf0.1. The window partitions by doc, so parallelism is per-document and a
-    single pathological giant doc is the only skew unit (cap upstream via
-    normalize_text max_len).
+    Built as explode(sequence(0, size-n)) + n element_at lookups — the same
+    codegen-only Generate+Project shape as chunk_exact_dupes, with NO exchange
+    and NO sort (r06: the previous posexplode + lead()-window shape paid a
+    hash exchange by doc plus a per-doc sort before a single shingle existed,
+    and every consumer of the lazy frame re-paid it; guide §2.4 "remove
+    shuffles outright"). Array-transform HOFs remain off the table: their
+    lambdas evaluate interpreted per element (measured 6x slower at sf0.1) —
+    element_at with a column index is a plain codegen'd projection.
 
     ``distinct=False`` skips the dedup shuffle for consumers whose aggregate is
     duplicate-insensitive (MinHash mins: min over a multiset == min over its
     set) — one full-corpus shuffle saved on the signature path."""
     toks = F.split(F.lower(normalize_text(F.col(text_col))), " ")
-    te = df.select(F.col(id_col).alias("doc"), F.posexplode(toks).alias("pos", "w"))
-    w = Window.partitionBy("doc").orderBy("pos")
-    parts = [F.col("w")] + [F.lead("w", j).over(w) for j in range(1, n)]
-    out = (
-        te.select("doc", F.concat_ws(" ", *parts).alias("shingle"), parts[-1].alias("_g"))
-        .where(F.col("_g").isNotNull())  # tail positions with <n words left
-        .select("doc", "shingle")
+    base = df.select(F.col(id_col).alias("doc"), toks.alias("_w")).filter(
+        F.size("_w") >= n  # guard: sequence(0, negative) would step DOWNWARD
     )
+    idx = base.select(
+        "doc", F.col("_w"), F.explode(F.sequence(F.lit(0), F.size("_w") - n)).alias("_i")
+    )
+    parts = [F.element_at(F.col("_w"), F.col("_i") + (j + 1)) for j in range(n)]
+    out = idx.select("doc", F.concat_ws(" ", *parts).alias("shingle"))
     return out.distinct() if distinct else out
 
 
@@ -100,42 +157,128 @@ def ngram_jaccard_pairs(
     shingle, so a stop-shingle shared by everything is the skew risk — at scale,
     drop shingles with document frequency above a cap (cheap pre-agg) before the join.
     """
-    sh = _shingle_rows(df, id_col, text_col, n)
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
-    if max_df is not None:
-        # the 100 TB path: drop stop-shingles (document frequency > max_df) before
-        # the self-join — they contribute pair-count quadratically while carrying
-        # almost no Jaccard signal. Approximation: |intersection| may undercount,
-        # so this is the candidate-recall knob, not the exact query.
-        rare = (
-            sh.groupBy("shingle").agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_df)
-            .select("shingle")
-        )
-        # plain semi join (NOT broadcast: the rare-shingle set is ~the whole
-        # vocabulary — per-shingle frames must never be forced into a broadcast)
-        sh = sh.join(rare, "shingle", "left_semi")
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("id1"), F.col("b.doc").alias("id2"))
-        .agg(F.count("*").alias("inter"))
+    # r06 rewrite (guide §8 "decide with small rows / co-locate", §4.2 native
+    # kernels; before/after plans in plans/r06). The r05 shape referenced the
+    # lazy shingle frame from FOUR subtrees (self-join a/b + two size joins):
+    # the scan+shingle pipeline ran 4x, Catalyst force-broadcast the
+    # multi-million-row shingle frame from a bad post-aggregate estimate, and
+    # — measured at sf1.0 — the inverted-index self-join emitted 127M
+    # one-shingle candidate rows into a 127M-distinct-key aggregate (92 s).
+    # Exact prefix filtering (PPJoin) only cut emissions 2.3x on this dense
+    # vocabulary, so the join shape is structurally wrong here. Instead:
+    # 1. ONE corpus scan → per-doc distinct shingle-HASH sets + set size in a
+    #    single object-hash aggregate (xxhash64 basis: collisions are 2^-64
+    #    noise, the same basis the minhash/fingerprint family stands on), and
+    #    the (doc, sz, hashes) frame — hashes only, never text — is staged to
+    #    parquet once (the decision pass of guide §8).
+    # 2. Each task loads the staged side ONCE per worker (module-cached,
+    #    hash-sorted) and a numpy kernel computes exact intersection counts
+    #    for its slice of documents: searchsorted range lookup per shingle
+    #    hash, vectorized multi-range expansion, one np.unique per chunk —
+    #    Σ df² total match work with NO shuffle of candidate rows, no join,
+    #    no broadcast, no sort. The per-pair arithmetic (inter, sizes,
+    #    float64 division, >= threshold) is bit-identical to the SQL form.
+    # Scale note: the staged side is O(corpus shingle hashes) per worker —
+    # the exact all-pairs operator stays the small-corpus/verification path
+    # (LSH is the 100 TB candidate path); max_df drops stop-shingles from the
+    # intersection (df is a free by-product of the range lookup), sizes stay
+    # pre-filter — semantics identical to the r05 semi-join formulation.
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    # hash-only shingle basis: xxhash64 over the n token columns directly —
+    # same set semantics as hashing the concat'd shingle string (tokens carry
+    # no spaces, so the n-tuple is the shingle) without materializing 2.6M+
+    # intermediate strings per corpus scan
+    toks = F.split(F.lower(normalize_text(F.col(text_col))), " ")
+    base = df.select(F.col(id_col).alias("doc"), toks.alias("_w")).filter(
+        F.size("_w") >= n
     )
-    # sizes is one row per DOCUMENT — at corpus scale that is billions of rows, so
-    # these are plain shuffle joins; AQE converts them to broadcasts automatically
-    # when the corpus is genuinely small. Never hint broadcast on per-doc frames.
-    s1 = sizes.select(F.col("doc").alias("id1"), F.col("sz").alias("sz1"))
-    s2 = sizes.select(F.col("doc").alias("id2"), F.col("sz").alias("sz2"))
-    return (
-        inter.join(s1, "id1")
-        .join(s2, "id2")
-        .withColumn(
-            "jaccard",
-            F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id1", "id2", "jaccard")
+    idx = base.select(
+        "doc", F.col("_w"), F.explode(F.sequence(F.lit(0), F.size("_w") - n)).alias("_i")
     )
+    sh = idx.select(
+        "doc",
+        F.xxhash64(
+            *[F.element_at(F.col("_w"), F.col("_i") + (j + 1)) for j in range(n)]
+        ).alias("_h"),
+    )
+    ds_sets = (
+        sh.groupBy("doc")
+        .agg(F.collect_set("_h").alias("_hs"))
+        .select("doc", F.size("_hs").alias("sz"), "_hs")
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    stage = tempfile.mkdtemp(prefix="njp_stage_", dir=shm)
+    _njp_register_stage(stage)
+    ds_sets.write.mode("overwrite").parquet(stage)
+    # leaked until /tmp GC by design: the returned frame reads these files
+    # lazily (same precedent as q_cdc_snapshot_diff's in-query table)
+    a = spark.read.parquet(stage).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id1", id_type),
+            T.StructField("id2", id_type),
+            T.StructField("jaccard", T.DoubleType()),
+        ]
+    )
+    md = -1 if max_df is None else int(max_df)
+    thr = float(threshold)
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        bh, bidx, b_doc, b_sz = _njp_load_side(stage)
+        nb = len(b_doc)
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0 or nb == 0:
+                continue
+            a_doc = pdf["doc"].to_numpy()
+            a_sz = pdf["sz"].to_numpy()
+            hs_col = pdf["_hs"].to_numpy()
+            for c0 in range(0, m, 1024):  # chunk: bounds match-expansion memory
+                c1 = min(c0 + 1024, m)
+                lens = np.fromiter(
+                    (len(hs_col[i]) for i in range(c0, c1)), np.int64, c1 - c0
+                )
+                if lens.sum() == 0:
+                    continue
+                ah = np.concatenate([np.asarray(hs_col[i]) for i in range(c0, c1)])
+                ad = np.repeat(np.arange(c0, c1), lens)
+                lo = np.searchsorted(bh, ah, "left")
+                hi = np.searchsorted(bh, ah, "right")
+                cnt = hi - lo  # == global document frequency of the shingle
+                if md >= 0:
+                    cnt = np.where(cnt <= md, cnt, 0)
+                tot = int(cnt.sum())
+                if tot == 0:
+                    continue
+                ends = np.cumsum(cnt)
+                pos = np.arange(tot) + np.repeat(lo - (ends - cnt), cnt)
+                key = np.repeat(ad, cnt) * nb + bidx[pos]
+                uk, inter = np.unique(key, return_counts=True)
+                ai = uk // nb
+                bi = uk - ai * nb
+                id1v, id2v = a_doc[ai], b_doc[bi]
+                keep = id1v < id2v
+                if not keep.any():
+                    continue
+                inter = inter[keep]
+                jac = inter / (a_sz[ai[keep]] + b_sz[bi[keep]] - inter)
+                ok = jac >= thr
+                yield pd.DataFrame(
+                    {"id1": id1v[keep][ok], "id2": id2v[keep][ok], "jaccard": jac[ok]}
+                )
+
+    return a.mapInPandas(kernel, out_schema)
 
 
 def _pair_jaccard(

@@ -47,6 +47,13 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "snappy")
         # min/max/count over parquet become footer-stat reads (epoch planning scans)
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # collect_set/collect_list aggregates (dedup shingle-set building) run in
+        # ObjectHashAggregateExec; the default sort-based fallback triggers at a
+        # mere 128 distinct keys per task, silently re-introducing a full sort of
+        # the corpus. The buffers here are bounded per key (one doc's shingle
+        # hashes ≈ a few KB), so a generous key budget is safe at any scale —
+        # memory per task stays (keys × per-doc set), execution-memory-tracked.
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
