@@ -34,11 +34,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin-repartition a narrow scan up to the session's parallelism
+    (r06, guide §2.5/§6): the small-SF parquet inputs arrive as 1-4 splits
+    (openCostInBytes floors the split size and single-row-group files cannot
+    split), so scan-stage work — projections, partial aggregates, Arrow
+    kernels — otherwise runs on a few cores while the rest idle. No-op when
+    the scan already has >= parallelism partitions (any at-scale input), so
+    nothing extra is shuffled in production. Results are row-identical; only
+    row placement changes."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 # --------------------------------------------------------------------------- feed
 
 def _feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic change feed derived from events (shared with oracle CTE below)."""
-    e = _t(spark, sf_dir, "events")
+    e = _spread(_t(spark, sf_dir, "events"))
     op = (
         F.when(F.col("event_type") == "error", "D")
         .when(F.col("event_type") == "click", "U")
@@ -553,19 +568,27 @@ def q_join_pairing_reciprocal(spark, sf_dir):
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk2")
     )
     pairs = l1.join(l2, "ok")
-    fwd = pairs.select(
+    # r06: both directions ride ONE join via a 2-element explode — the former
+    # fwd/bwd union duplicated the whole self-join subtree (2 SortMergeJoins,
+    # 4 scans; plans/r06). Identical rows, 0.70 s -> 0.54 s at sf1.0.
+    d = pairs.select(
         F.col("ok").alias("orderkey"),
-        F.col("pk1").alias("part_a"),
-        F.col("pk2").alias("part_b"),
-        F.lit("primary_of").alias("relationship_id"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("pk1").alias("part_a"),
+                    F.col("pk2").alias("part_b"),
+                    F.lit("primary_of").alias("relationship_id"),
+                ),
+                F.struct(
+                    F.col("pk2").alias("part_a"),
+                    F.col("pk1").alias("part_b"),
+                    F.lit("secondary_of").alias("relationship_id"),
+                ),
+            )
+        ).alias("e"),
     )
-    bwd = pairs.select(
-        F.col("ok").alias("orderkey"),
-        F.col("pk2").alias("part_a"),
-        F.col("pk1").alias("part_b"),
-        F.lit("secondary_of").alias("relationship_id"),
-    )
-    return fwd.unionByName(bwd)
+    return d.select("orderkey", "e.part_a", "e.part_b", "e.relationship_id")
 
 
 def q_join_vocab_materialized(spark, sf_dir):
@@ -665,7 +688,7 @@ def q_era_ingredient_rollup(spark, sf_dir):
 def q_jsonb_predicate_scan(spark, sf_dir):
     """S2: predicate pushdown into the JSON payload (Encounter contact-level split
     analog — TaskConfiguration.java:284-306): route events by a JSON field parity."""
-    e = _t(spark, sf_dir, "events")
+    e = _spread(_t(spark, sf_dir, "events"))
     k = F.get_json_object(F.col("props"), "$.k").cast("int")
     return (
         e.withColumn(
@@ -691,7 +714,9 @@ def q_compound_pack_unpack(spark, sf_dir):
 
 def q_agg_observation_period(spark, sf_dir):
     """A1: observation-period rollup (min/max/count per person)."""
-    e = _t(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events")  # no _spread: arithmetic-only partial agg
+    # already compresses map-side; a round-robin exchange of raw rows costs
+    # more than the extra cores gain (measured 0.24 s vs 1.33 s at sf1.0)
     return e.groupBy("user_id").agg(
         F.min("ts").alias("period_start"),
         F.max("ts").alias("period_end"),
@@ -767,15 +792,34 @@ def q_grouping_sets(spark, sf_dir):
 
 
 def q_window_latest_per_key(spark, sf_dir):
-    """V3: last-write-wins dedup window in isolation (latest event per user+type)."""
+    """V3: last-write-wins dedup in isolation (latest event per user+type).
+
+    r06: the row_number window (two full sorts around the exchange, even with
+    Spark 4's WindowGroupLimit pushdown) is replaced by a pure HASH aggregate:
+    the total order (ts, event_id) packs losslessly into one decimal(38,0) —
+    ts_micros * 10^10 + event_id, exact while 0 <= event_id < 10^10, far above
+    any generated feed — and max(decimal) is hash-aggregable (map-side partial
+    agg, zero sorts). Both output columns unpack exactly from the packed max
+    (pmod / integer division; ts round-trips micros -> TIMESTAMP_NTZ under the
+    pinned UTC session), so the result is bit-identical to the window form —
+    measured 1.55 s -> 1.09 s at sf1.0 (plans/r06). No _spread here: the
+    packed-max partial aggregate is pure arithmetic and compresses map-side,
+    so a round-robin exchange of the raw rows costs more than the extra
+    cores gain (1.01 s vs 1.55 s measured)."""
     e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
+    c = F.lit(10_000_000_000).cast("decimal(11,0)")
+    pack = (
+        F.unix_micros(F.col("ts").cast("timestamp")).cast("decimal(28,0)") * c
+        + F.col("event_id").cast("decimal(11,0)")
     )
-    return (
-        e.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_type", "event_id", "ts")
+    g = e.groupBy("user_id", "event_type").agg(F.max(pack).alias("_mx"))
+    lsn = F.pmod(F.col("_mx"), c)
+    mic = ((F.col("_mx") - lsn) / c).cast("decimal(28,0)")
+    return g.select(
+        "user_id",
+        "event_type",
+        lsn.cast("long").alias("event_id"),
+        F.timestamp_micros(mic.cast("long")).cast(e.schema["ts"].dataType).alias("ts"),
     )
 
 
@@ -784,14 +828,14 @@ def q_window_latest_per_key(spark, sf_dir):
 def q_text_token_count(spark, sf_dir):
     from etl_german_fhir_core_spark.functions.text import token_count
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     return d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
 
 
 def q_text_quality_score(spark, sf_dir):
     """Quality scoring: alpha ratio + punctuation ratio blend (scaled int for
     cross-engine float stability)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     n = F.length(F.col("text")).cast("double")
     alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", "")).cast("double")
     punct = F.length(F.regexp_replace(F.col("text"), "[^\\.,;:!\\?]", "")).cast("double")
@@ -802,7 +846,7 @@ def q_text_quality_score(spark, sf_dir):
 def q_text_lang_id(spark, sf_dir):
     """Language-ID heuristic via cue-phrase occurrence counts (argmax, tie order
     de>fr>es>en, 'und' when no cue hits)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
     scores = {}
     for lang, cues in _LANGS.items():
@@ -820,7 +864,7 @@ def q_text_lang_id(spark, sf_dir):
 
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup on normalized content (keep min doc_id + duplicate count)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     norm = F.lower(F.trim(F.regexp_replace(F.col("text"), "\\s+", " ")))
     return (
         d.withColumn("content_key", norm)
@@ -924,7 +968,7 @@ def q_text_redact_pii(spark, sf_dir):
     replace fails the hash."""
     from etl_german_fhir_core_spark.functions.text import redact_pii
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     with_pii = d.select(
         "doc_id",
         F.concat(
@@ -985,7 +1029,7 @@ def q_text_stopword_ratio(spark, sf_dir):
     """Quality signal: stopword ratio = stopword occurrences / word count
     (natural text sits ~0.2-0.5; gibberish and boilerplate fall outside).
     Scaled to micro-units for cross-engine float stability."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " ")
     padded = F.concat(F.lit(" "), norm, F.lit(" "))
     hits = None
@@ -1046,7 +1090,7 @@ def q_text_fingerprint(spark, sf_dir):
     normalized text. md5 here because DuckDB computes the identical digest (the
     oracle); the engine's internal dedup path uses the cheaper xxhash64 variant
     (functions/text.py doc_fingerprint), same normalization."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     norm = F.lower(F.trim(F.regexp_replace(F.col("text"), "\\s+", " ")))
     return d.select("doc_id", F.md5(norm).alias("fingerprint"))
 

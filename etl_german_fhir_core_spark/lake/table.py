@@ -651,7 +651,9 @@ class SnapshotTable:
             deltas[str(b)] = []
         return {"deltas": deltas}
 
-    def _stage_buckets(self, df: DataFrame, touched: list[int]) -> dict[str, list[str]]:
+    def _stage_buckets(
+        self, df: DataFrame, touched: list[int], pre_partitioned: bool = False
+    ) -> dict[str, list[str]]:
         """Write ``df`` (already carrying BUCKET_COL) partitioned by bucket into a
         fresh uuid staging dir; return {bucket: [relative file paths]}. Staged files
         become live only when the next manifest references them, so a crash here
@@ -660,7 +662,14 @@ class SnapshotTable:
         Skew handling (north rule: salted repartitioning for hot conv_id): with
         ``files_per_bucket`` > 1 the shuffle key is (bucket, salt) where salt =
         hash(full key) % fpb — a hot conversation's bucket is written by fpb
-        parallel tasks into fpb files instead of serializing into one writer."""
+        parallel tasks into fpb files instead of serializing into one writer.
+
+        ``pre_partitioned=True`` (r06, guide §2.4): the caller guarantees ``df``
+        is already hash-clustered by BUCKET_COL (e.g. the merge path's
+        resolution aggregate reuses one bucket exchange), so the staging
+        repartition — a second full exchange of every surviving row — is
+        skipped; each bucket still lands wholly inside one task, so the
+        one-file-per-bucket layout is unchanged."""
         stage_rel = os.path.join(DATA_DIR, uuid.uuid4().hex)
         stage_abs = self._abs(stage_rel)
         m = self.manifest()
@@ -668,6 +677,8 @@ class SnapshotTable:
         if fpb > 1:
             salt = F.pmod(F.xxhash64(*[F.col(k) for k in m["key_cols"]]), F.lit(fpb))
             shuffled = df.repartition(max(len(touched), 1) * fpb, F.col(BUCKET_COL), salt)
+        elif pre_partitioned:
+            shuffled = df
         else:
             shuffled = df.repartition(max(len(touched), 1), BUCKET_COL)
         (
@@ -1015,13 +1026,28 @@ class SnapshotTable:
         )
 
         combined = existing.unionByName(incoming)
+        # r06 single-exchange epoch (guide §2.4): hash-cluster the union by
+        # BUCKET_COL once, then aggregate on (bucket, *key_cols) — bucket is a
+        # pure function of key_cols[0], so the grouping is semantically
+        # unchanged, and HashPartitioning(bucket) ⊆ the grouping keys lets the
+        # aggregate reuse the exchange. The winners stay bucket-clustered all
+        # the way into the staging write (pre_partitioned below), removing the
+        # second full exchange of every surviving row that the staging
+        # repartition used to pay per epoch.
+        fpb = int(m.get("properties", {}).get("files_per_bucket", 1))
+        one_exchange = fpb == 1
+        if one_exchange:
+            combined = combined.repartition(max(len(touched), 1), BUCKET_COL)
         # LWW resolution via the ONE shared winner aggregate (_lww_winners):
         # max_by over the total order (order_cols, _lsn, _src) — batch rows
         # (_src=1) beat existing on ties; _n_batch rides the same aggregate
         # for the conflict metric.
-        value_cols = [f.name for f in new_schema] + [op_col, "_src", BUCKET_COL]
+        group_cols = [BUCKET_COL, *key_cols] if one_exchange else list(key_cols)
+        value_cols = [f.name for f in new_schema] + [op_col, "_src"] + (
+            [] if one_exchange else [BUCKET_COL]
+        )
         winners = self._lww_winners(
-            combined, key_cols, order_cols, value_cols,
+            combined, group_cols, order_cols, value_cols,
             tiebreak_cols=("_src",),
             extra_aggs={"_n_batch": F.sum("_src")},
         )
@@ -1058,7 +1084,7 @@ class SnapshotTable:
             # transform can skip rows it already finalized in an earlier epoch.
             final = finalize_payload(final)
         final = final.drop("_src")
-        staged = self._stage_buckets(final, touched)
+        staged = self._stage_buckets(final, touched, pre_partitioned=one_exchange)
         stats = obs.get
 
         files = dict(m["files"])

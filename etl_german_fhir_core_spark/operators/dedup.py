@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from etl_german_fhir_core_spark.functions.text import normalize_text
+from etl_german_fhir_core_spark.functions.text import normalize_text, tokenize_ws
 
 
 _NJP_SIDE_CACHE: dict = {}
@@ -79,6 +79,20 @@ def _njp_load_side(path: str):
     return data
 
 
+def _spread_small_input(df: DataFrame) -> DataFrame:
+    """Round-robin-repartition a SMALL scan up to the session's default
+    parallelism (r06, guide §2.5 input skew / §6 split sizing): a few-MB
+    parquet corpus arrives as 1-2 input splits (openCostInBytes floors the
+    split size), so the whole shingle+partial-aggregate stage — the expensive
+    per-row work — runs near-single-core while 30 cores idle. Scale-adaptive
+    by construction: when the scan already has >= parallelism partitions
+    (any real corpus), this is a no-op and nothing is shuffled."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def _materialize_small(df: DataFrame) -> DataFrame:
     """Persist AND eagerly populate (count) a small multi-consumer frame.
 
@@ -113,8 +127,10 @@ def _shingle_rows(
     ``distinct=False`` skips the dedup shuffle for consumers whose aggregate is
     duplicate-insensitive (MinHash mins: min over a multiset == min over its
     set) — one full-corpus shuffle saved on the signature path."""
-    toks = F.split(F.lower(normalize_text(F.col(text_col))), " ")
-    base = df.select(F.col(id_col).alias("doc"), toks.alias("_w")).filter(
+    toks = tokenize_ws(F.col(text_col))
+    base = _spread_small_input(df).select(
+        F.col(id_col).alias("doc"), toks.alias("_w")
+    ).filter(
         F.size("_w") >= n  # guard: sequence(0, negative) would step DOWNWARD
     )
     idx = base.select(
@@ -193,10 +209,10 @@ def ngram_jaccard_pairs(
     # same set semantics as hashing the concat'd shingle string (tokens carry
     # no spaces, so the n-tuple is the shingle) without materializing 2.6M+
     # intermediate strings per corpus scan
-    toks = F.split(F.lower(normalize_text(F.col(text_col))), " ")
-    base = df.select(F.col(id_col).alias("doc"), toks.alias("_w")).filter(
-        F.size("_w") >= n
-    )
+    toks = tokenize_ws(F.col(text_col))
+    base = _spread_small_input(df).select(
+        F.col(id_col).alias("doc"), toks.alias("_w")
+    ).filter(F.size("_w") >= n)
     idx = base.select(
         "doc", F.col("_w"), F.explode(F.sequence(F.lit(0), F.size("_w") - n)).alias("_i")
     )
@@ -371,7 +387,7 @@ def _pair_jaccard_pairwise(
 
     from pyspark.sql import types as T
 
-    toks = F.split(F.lower(normalize_text(F.col(text_col))), " ")
+    toks = tokenize_ws(F.col(text_col))
     t = df.select(F.col(id_col).alias("_pj_id"), toks.alias("_pj_toks"))
     j = (
         pairs.select("id1", "id2")
@@ -426,10 +442,28 @@ def minhash_signatures(
     """(doc, h0..h{k-1}) MinHash signature rows — the shingle-explode +
     map-side-partial min-aggregate stage of :func:`minhash_lsh_pairs`, exposed
     separately so the scaling sweep can attribute wall time per stage
-    (signature agg vs bucket join vs verify — BENCH/BASELINE.md)."""
-    # duplicate shingles cannot change a min — skip the distinct shuffle here
-    sh = _shingle_rows(df, id_col, text_col, n, distinct=False)
-    hashed = sh.withColumn("_h0", F.xxhash64("shingle"))
+    (signature agg vs bucket join vs verify — BENCH/BASELINE.md).
+
+    r06: the base shingle hash is xxhash64 over the n token columns directly
+    (tokens carry no whitespace, so the n-tuple IS the shingle) — same set
+    semantics as hashing the concat'd shingle string without materializing
+    millions of intermediate strings; with the sort-free shingle builder the
+    whole stage is Generate → map-side partial min-agg → ONE exchange of
+    k longs per doc (no sort, no distinct: duplicate shingles cannot change a
+    min)."""
+    toks = tokenize_ws(F.col(text_col))
+    base = _spread_small_input(df).select(
+        F.col(id_col).alias("doc"), toks.alias("_w")
+    ).filter(F.size("_w") >= n)
+    idx = base.select(
+        "doc", F.col("_w"), F.explode(F.sequence(F.lit(0), F.size("_w") - n)).alias("_i")
+    )
+    hashed = idx.select(
+        "doc",
+        F.xxhash64(
+            *[F.element_at(F.col("_w"), F.col("_i") + (j + 1)) for j in range(n)]
+        ).alias("_h0"),
+    )
     return hashed.groupBy("doc").agg(
         *[
             F.min(F.xxhash64(F.col("_h0"), F.lit(i))).alias(f"h{i}")

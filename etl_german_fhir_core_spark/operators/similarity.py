@@ -134,6 +134,10 @@ def cosine_topk_bruteforce(
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
+    # NOT spread across cores first (r06, measured): with probe-sized query
+    # sets the per-batch matmul is lighter than the repartition exchange a
+    # spread would add (0.63 s vs 0.98 s at sf1.0) — the corpus scan stays
+    # partition-local however the input arrives
     scored = corpus.select(id_col, vec_col).mapInPandas(score_partition, out_schema)
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
