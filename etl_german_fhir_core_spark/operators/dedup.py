@@ -79,17 +79,23 @@ def _njp_load_side(path: str):
     return data
 
 
-def _spread_small_input(df: DataFrame) -> DataFrame:
-    """Round-robin-repartition a SMALL scan up to the session's default
-    parallelism (r06, guide §2.5 input skew / §6 split sizing): a few-MB
-    parquet corpus arrives as 1-2 input splits (openCostInBytes floors the
-    split size), so the whole shingle+partial-aggregate stage — the expensive
-    per-row work — runs near-single-core while 30 cores idle. Scale-adaptive
-    by construction: when the scan already has >= parallelism partitions
-    (any real corpus), this is a no-op and nothing is shuffled."""
+def _spread_small_input(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Repartition a SMALL scan up to the session's default parallelism (r06,
+    guide §2.5 input skew / §6 split sizing): a few-MB parquet corpus arrives
+    as 1-2 input splits (openCostInBytes floors the split size), so the whole
+    shingle+partial-aggregate stage — the expensive per-row work — runs
+    near-single-core while 30 cores idle. Scale-adaptive by construction:
+    when the scan already has >= parallelism partitions (any real corpus),
+    this is a no-op and nothing is shuffled.
+
+    With ``key`` the repartition HASH-clusters on that column: downstream
+    per-doc aggregates (distinct, collect_set, signature mins, bit votes)
+    then satisfy their distribution from this one small-frame exchange and
+    plan NO exchange of the much larger exploded shingle rows (guide §2.4
+    "two operations keyed the same way share one exchange")."""
     p = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < p:
-        return df.repartition(p)
+        return df.repartition(p, F.col(key)) if key else df.repartition(p)
     return df
 
 
@@ -128,7 +134,7 @@ def _shingle_rows(
     duplicate-insensitive (MinHash mins: min over a multiset == min over its
     set) — one full-corpus shuffle saved on the signature path."""
     toks = tokenize_ws(F.col(text_col))
-    base = _spread_small_input(df).select(
+    base = _spread_small_input(df, key=id_col).select(
         F.col(id_col).alias("doc"), toks.alias("_w")
     ).filter(
         F.size("_w") >= n  # guard: sequence(0, negative) would step DOWNWARD
@@ -210,7 +216,7 @@ def ngram_jaccard_pairs(
     # no spaces, so the n-tuple is the shingle) without materializing 2.6M+
     # intermediate strings per corpus scan
     toks = tokenize_ws(F.col(text_col))
-    base = _spread_small_input(df).select(
+    base = _spread_small_input(df, key=id_col).select(
         F.col(id_col).alias("doc"), toks.alias("_w")
     ).filter(F.size("_w") >= n)
     idx = base.select(
@@ -452,7 +458,7 @@ def minhash_signatures(
     k longs per doc (no sort, no distinct: duplicate shingles cannot change a
     min)."""
     toks = tokenize_ws(F.col(text_col))
-    base = _spread_small_input(df).select(
+    base = _spread_small_input(df, key=id_col).select(
         F.col(id_col).alias("doc"), toks.alias("_w")
     ).filter(F.size("_w") >= n)
     idx = base.select(
@@ -568,14 +574,84 @@ def simhash_buckets(
       (xxhash64 bit-votes have no SQL equivalent; VERDICT r03 next #2). Same
       quality (both are uniform bit sources), ~16 extra string ops per shingle.
     """
-    sh = _shingle_rows(df, id_col, text_col, n)
     if hash_basis == "xxhash64":
-        sh = sh.withColumn("h", F.xxhash64("shingle"))
+        # r06 fast path: the 64 per-bit conditional-sum aggregates were the
+        # dominant cost of the whole simhash family (measured 6.5 s of a 13 s
+        # candidate run at 40k docs — 64 when/shift/sum expression trees per
+        # shingle row). Instead: per-doc DISTINCT shingle-hash sets via one
+        # object-hash collect_set (hash basis: xxhash64 of the shingle STRING,
+        # unchanged from r05 — signatures stay bit-identical), then
+        # an Arrow-batched numpy kernel unpacks the hash bits
+        # (np.unpackbits, little-endian = bit b of the uint64) and majority-
+        # votes per doc with one segmented reduction. Row-independent — no
+        # staged side, no join; one small-frame exchange total.
+        import numpy as np  # noqa: F401
+        from pyspark.sql import types as T
 
-        def bit(b: int):
-            return F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))
+        toks = tokenize_ws(F.col(text_col))
+        base = _spread_small_input(df, key=id_col).select(
+            F.col(id_col).alias("doc"), toks.alias("_w")
+        ).filter(F.size("_w") >= n)
+        idx = base.select(
+            "doc",
+            F.col("_w"),
+            F.explode(F.sequence(F.lit(0), F.size("_w") - n)).alias("_i"),
+        )
+        sh = idx.select(
+            "doc",
+            F.xxhash64(
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.element_at(F.col("_w"), F.col("_i") + (j + 1))
+                        for j in range(n)
+                    ],
+                )
+            ).alias("_h"),
+        )
+        ds = sh.groupBy("doc").agg(F.collect_set("_h").alias("_hs"))
+        out_schema = T.StructType(
+            [
+                T.StructField("doc", df.schema[id_col].dataType),
+                T.StructField("simhash", T.LongType()),
+            ]
+        )
 
-    elif hash_basis == "md5":
+        def vote_kernel(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                m = len(pdf)
+                if m == 0:
+                    continue
+                hs = pdf["_hs"].to_numpy()
+                lens = np.fromiter((len(h) for h in hs), np.int64, m)
+                flat = (
+                    np.concatenate([np.asarray(h) for h in hs])
+                    .astype(np.int64)
+                    .view(np.uint64)
+                )
+                bits = np.unpackbits(
+                    flat.view(np.uint8), bitorder="little"
+                ).reshape(-1, 64)
+                starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                ones = np.add.reduceat(bits.astype(np.int64), starts, axis=0)
+                # vote_b > 0  <=>  2*ones_b > n_hashes (exact tie -> bit 0)
+                sigbits = (2 * ones) > lens[:, None]
+                sig = (
+                    (sigbits.astype(np.uint64) << np.arange(64, dtype=np.uint64))
+                    .sum(axis=1, dtype=np.uint64)
+                    .view(np.int64)
+                )
+                yield pd.DataFrame({"doc": pdf["doc"], "simhash": sig})
+
+        out = ds.mapInPandas(vote_kernel, out_schema)
+        return out.withColumn(
+            "bucket", F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits)
+        )
+    sh = _shingle_rows(df, id_col, text_col, n)
+    if hash_basis == "md5":
         digits = [
             F.conv(F.substring(F.md5(F.col("shingle")), i + 1, 1), 16, 10)
             .cast("int")
@@ -602,7 +678,10 @@ def simhash_buckets(
 
 
 def _simhash_table_plan(
-    max_hamming: int, group_size: int | None, max_tables: int
+    max_hamming: int,
+    group_size: int | None,
+    max_tables: int,
+    n_docs: int | None = None,
 ) -> tuple[int, list[tuple[int, ...]]]:
     """Choose the Manku-style multi-table candidate construction for radius d:
     split the 64-bit signature into ``k = d + g`` blocks and key one candidate
@@ -630,63 +709,206 @@ def _simhash_table_plan(
                 f"tables > max_tables={max_tables}"
             )
     else:
-        feasible = [g for g in range(1, 9) if comb(d + g, g) <= max_tables]
+        feasible = [
+            g for g in range(1, 11) if comb(d + g, g) <= max_tables and d + g <= 64
+        ]
         if not feasible:
             raise ValueError(
                 f"no block-combination plan fits max_hamming={d}: even g=1 needs "
                 f"C({d + 1},1)={d + 1} candidate tables > max_tables={max_tables}; "
                 "raise max_tables or lower max_hamming"
             )
-        wide = [g for g in feasible if g * (64 // (d + g)) >= 16]
-        g = wide[0] if wide else max(feasible, key=lambda gg: gg * (64 // (d + gg)))
+        if n_docs is not None and n_docs >= 2:
+            # r06 cost-based choice (every candidate pair ≤ radius d survives
+            # regardless of g — the plan only trades per-table work against
+            # block-collision volume, so g is a pure cost knob): per table the
+            # kernel pays ~N·log2 N sort work plus ~N²/2^w_avg collision
+            # popcounts (w_avg = g·64/(d+g) composite key bits). Minimize the
+            # sum over the feasible g values.
+            from math import log2
+
+            n = float(n_docs)
+
+            def cost(gg: int) -> float:
+                t = comb(d + gg, gg)
+                w = gg * 64.0 / (d + gg)
+                return t * n * (log2(n) + 3.0) + t * n * n / (2.0**w)
+
+            g = min(feasible, key=cost)
+        else:
+            wide = [g for g in feasible if g * (64 // (d + g)) >= 16]
+            g = wide[0] if wide else max(
+                feasible, key=lambda gg: gg * (64 // (d + gg))
+            )
     k = d + g
     if k > 64:
         raise ValueError(f"max_hamming + group_size = {k} exceeds 64 signature bits")
     return k, list(combinations(range(k), g))
 
 
+_SIM_SIDE_CACHE: dict = {}
+
+
+def _sim_load_side(path: str):
+    """Load the staged (doc, simhash) side of the simhash candidate kernel once
+    per Python worker (same module-cache pattern as :func:`_njp_load_side`).
+    Returns (doc ids array, signatures as uint64 array)."""
+    import os
+
+    import numpy as np
+
+    key = (path, os.getpid())
+    hit = _SIM_SIDE_CACHE.get("side")
+    if hit is not None and hit[0] == key:
+        return hit[1]
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["doc", "simhash"])
+    doc = t.column("doc").to_numpy(zero_copy_only=False)
+    sig = (
+        t.column("simhash").to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+        .view(np.uint64)
+    )
+    data = (doc, sig)
+    _SIM_SIDE_CACHE["side"] = (key, data)
+    return data
+
+
+def _popcount64(x):
+    """Vectorized 64-bit population count (SWAR; numpy<2 has no bitwise_count).
+    ``x`` must be uint64; integer wraparound in the multiply is intended."""
+    import numpy as np
+
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h = np.uint64(0x0101010101010101)
+    x = x - ((x >> np.uint64(1)) & m1)
+    x = (x & m2) + ((x >> np.uint64(2)) & m2)
+    x = (x + (x >> np.uint64(4))) & m4
+    return (x * h) >> np.uint64(56)
+
+
 def _simhash_candidates(
-    sigs: DataFrame, max_hamming: int, group_size: int | None, max_tables: int
+    sigs: DataFrame,
+    max_hamming: int,
+    group_size: int | None,
+    max_tables: int,
+    n_docs: int | None = None,
 ) -> DataFrame:
-    """Candidate (id1, id2) pairs from the multi-table block-combination join,
-    then a JVM-side Hamming pre-filter ``bit_count(sig1 XOR sig2) ≤ d`` — only
-    true Hamming-ball pairs survive into the (expensive) shingle-level verify.
-    ``sigs`` must be (doc, simhash) and should be persisted by the caller (it is
-    consumed by the bucket join and twice by the pre-filter)."""
-    k, combos = _simhash_table_plan(max_hamming, group_size, max_tables)
-    # block i covers bits [offset_i, offset_i + width_i): widths differ by ≤1
+    """Candidate (id1, id2) pairs within Hamming radius ``max_hamming``:
+    Manku-style block-combination tables guarantee recall (a pair within
+    distance d leaves ≥ g of the d+g blocks untouched, so some whole
+    g-combination agrees) and a ``popcount(sig1 XOR sig2) ≤ d`` filter removes
+    every block-collision pair — the output is therefore EXACTLY the
+    Hamming-ball pair set, independent of the table plan chosen.
+
+    r06 execution (guide §8 / §4.2; the r05 JVM shape was an exploded
+    (doc, key) self-join — at wide radii its narrow block keys collapse to
+    ~N²/2^w join emissions, measured 213 s at 400k docs, d=12): the
+    (doc, simhash) side — 16 bytes/doc — is staged once and each task
+    processes a slice of the candidate TABLES in numpy: build its tables'
+    composite block keys, argsort, expand equal-key runs into pairs
+    (vectorized multi-range), popcount-filter, pre-dedupe. No join, no
+    per-table shuffle; table count becomes a pure cost knob the plan chooser
+    optimizes against N (``_simhash_table_plan`` cost model), which unlocks
+    wide-radius plans (d=12 → hundreds of tables of ~16-bit keys) that the
+    expression-tree version could not afford."""
+    import os
+    import tempfile
+
+    import numpy as np  # noqa: F401  (kernel contract)
+    from pyspark.sql import types as T
+
+    spark = sigs.sparkSession
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    stage = tempfile.mkdtemp(prefix="sim_stage_", dir=shm)
+    _njp_register_stage(stage)
+    sigs.select("doc", "simhash").write.mode("overwrite").parquet(stage)
+    if n_docs is None:
+        # parquet footer-count over the just-written stage — metadata-only,
+        # never recomputes the signature pipeline
+        n_docs = spark.read.parquet(stage).count()
+    k, combos = _simhash_table_plan(max_hamming, group_size, max_tables, n_docs)
     base, extra = divmod(64, k)
-    block_bits, offset = [], 0
-    for i in range(k):
-        width = base + (1 if i < extra else 0)
-        mask = (1 << width) - 1
-        block_bits.append(
-            F.shiftrightunsigned(F.col("simhash"), offset).bitwiseAND(F.lit(mask))
-        )
-        offset += width
-    # ONE exploded (doc, simhash, key) frame for all tables — table id is folded
-    # into the 64-bit key hash, so a single equi self-join covers every
-    # combination (cross-table hash collisions are 2^-64 noise the exact verify
-    # removes). The FULL signature rides through the join (8 bytes/row), so the
-    # Hamming pre-filter ``bit_count(xor) ≤ d`` runs INSIDE the join's output
-    # stage — block-collision pairs die map-side, before any exchange. Ordering
-    # matters at narrow block widths: filtering after a distinct meant the
-    # distinct shuffled the raw ~N²/2^w join output (measured 125 s at 40k docs,
-    # d=12); filter-then-distinct leaves only Hamming-ball pairs for the
-    # distinct (≈ true duplicates).
-    keys = [
-        F.xxhash64(F.lit(t), *[block_bits[i] for i in combo])
-        for t, combo in enumerate(combos)
-    ]
-    buckets = sigs.select("doc", "simhash", F.explode(F.array(*keys)).alias("_k"))
-    x, y = buckets.alias("x"), buckets.alias("y")
+    widths = [base + (1 if i < extra else 0) for i in range(k)]
+    offsets = [sum(widths[:i]) for i in range(k)]
+
+    par = spark.sparkContext.defaultParallelism
+    tables = spark.range(0, len(combos), 1, min(len(combos), par))
+    id_type = sigs.schema["doc"].dataType
+    out_schema = T.StructType(
+        [T.StructField("id1", id_type), T.StructField("id2", id_type)]
+    )
+    d = int(max_hamming)
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        doc, sig = _sim_load_side(stage)
+        nb = len(doc)
+        for pdf in batches:
+            if nb < 2 or len(pdf) == 0:
+                continue
+            out1, out2 = [], []
+            for t in pdf["id"].to_numpy():
+                combo = combos[int(t)]
+                key = np.zeros(nb, dtype=np.uint64)
+                acc = 0
+                for b in combo:
+                    blk = (sig >> np.uint64(offsets[b])) & np.uint64(
+                        (1 << widths[b]) - 1
+                    )
+                    key |= blk << np.uint64(acc)
+                    acc += widths[b]
+                order = np.argsort(key, kind="stable")
+                ks = key[order]
+                # equal-key runs -> within-run pair expansion (each element
+                # pairs with every earlier element of its run)
+                run_start = np.zeros(nb, dtype=np.int64)
+                new_run = np.flatnonzero(ks[1:] != ks[:-1]) + 1
+                run_start[new_run] = new_run
+                np.maximum.accumulate(run_start, out=run_start)
+                npairs = np.arange(nb, dtype=np.int64) - run_start
+                tot = int(npairs.sum())
+                if tot == 0:
+                    continue
+                idx = np.arange(nb, dtype=np.int64)
+                a_pos = np.repeat(idx, npairs)
+                ends = np.cumsum(npairs)
+                b_pos = np.arange(tot) - np.repeat(ends - npairs, npairs) + np.repeat(
+                    run_start, npairs
+                )
+                ai, bi = order[a_pos], order[b_pos]
+                keep = _popcount64(sig[ai] ^ sig[bi]) <= np.uint64(d)
+                if not keep.any():
+                    continue
+                ai, bi = ai[keep], bi[keep]
+                lo = np.minimum(ai, bi)
+                hi = np.maximum(ai, bi)
+                out1.append(lo)
+                out2.append(hi)
+            if not out1:
+                continue
+            lo = np.concatenate(out1)
+            hi = np.concatenate(out2)
+            # pre-dedupe across this task's tables (a near-identical pair is
+            # caught by MANY tables; without this the distinct would shuffle
+            # tables× duplicates)
+            packed = np.unique(lo.astype(np.int64) * nb + hi)
+            li = packed // nb
+            ri = packed - li * nb
+            yield pd.DataFrame({"id1": doc[li], "id2": doc[ri]})
+
+    out = tables.mapInPandas(kernel, out_schema)
+    # doc-id order (the public contract is id1 < id2 by DOC id, not by row
+    # position): swap where needed, then global distinct (tiny: ≈ true pairs)
     return (
-        x.join(y, (F.col("x._k") == F.col("y._k")) & (F.col("x.doc") < F.col("y.doc")))
-        .filter(
-            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
-            <= F.lit(max_hamming)
+        out.select(
+            F.least("id1", "id2").alias("id1"), F.greatest("id1", "id2").alias("id2")
         )
-        .select(F.col("x.doc").alias("id1"), F.col("y.doc").alias("id2"))
         .distinct()
     )
 
@@ -698,18 +920,21 @@ def simhash_candidates(
     n: int = 3,
     max_hamming: int = 6,
     group_size: int | None = None,
-    max_tables: int = 64,
+    max_tables: int = 4096,
 ) -> DataFrame:
     """Hamming-filtered simhash candidate pairs (pre-verify) — the probe surface
     for candidate-volume measurement (bench.py compares this count against
-    minhash's candidate count at equal recall)."""
-    sigs = _materialize_small(
-        simhash_buckets(df, id_col, text_col, n).select("doc", "simhash")
-    )
-    out = _simhash_candidates(sigs, max_hamming, group_size, max_tables)
-    out = out.localCheckpoint(eager=True)
-    sigs.unpersist()
-    return out
+    minhash's candidate count at equal recall). ``max_tables`` default raised
+    in r06: with the kernel execution the table count is a pure cost knob
+    (the output is the exact Hamming ball for ANY plan), and wide radii
+    genuinely want hundreds of tables — the cost model picks.
+
+    r06: no persist and no localCheckpoint — the signature pipeline runs
+    exactly once into the kernel's staged side (the stage IS the
+    materialization barrier), so the former persist+count+checkpoint job
+    chain (three extra actions of the r05 verify-floor attribution) is gone."""
+    sigs = simhash_buckets(df, id_col, text_col, n).select("doc", "simhash")
+    return _simhash_candidates(sigs, max_hamming, group_size, max_tables)
 
 
 def simhash_pairs(
@@ -720,7 +945,7 @@ def simhash_pairs(
     max_hamming: int = 6,
     verify_threshold: float = 0.5,
     group_size: int | None = None,
-    max_tables: int = 64,
+    max_tables: int = 4096,
     verify: str = "pairwise",
 ) -> DataFrame:
     """Near-dup pairs via SimHash candidates + exact Jaccard verify — the
@@ -734,25 +959,24 @@ def simhash_pairs(
     candidate-only exact n-gram Jaccard (same _pair_jaccard as minhash), so
     precision is exact. Scale shape: C(d+g, g) 16-byte keys per doc through one
     equi self-join, pre-filter on two longs per candidate, Jaccard only on
-    Hamming-confirmed pairs."""
-    sigs = _materialize_small(
-        simhash_buckets(df, id_col, text_col, n).select("doc", "simhash")
-    )
+    Hamming-confirmed pairs.
+
+    r06: the signature frame is consumed exactly once (the candidate
+    kernel's staged side materializes it), so the former sigs persist +
+    eager count + output localCheckpoint — three of the barrier jobs behind
+    the r05 ~10 s verify-stage latency floor — are gone; the pairwise path
+    is now one staged write plus one verify job."""
+    sigs = simhash_buckets(df, id_col, text_col, n).select("doc", "simhash")
     if verify == "pairwise":
-        # single downstream consumer → no candidate persist; the sigs persist
-        # stays (the multi-table plan branches sigs several ways in one job).
         cand = _simhash_candidates(sigs, max_hamming, group_size, max_tables)
         verified = _pair_jaccard_pairwise(df, id_col, text_col, n, cand)
-        out = verified.filter(F.col("jaccard") >= verify_threshold).select(
+        return verified.filter(F.col("jaccard") >= verify_threshold).select(
             "id1", "id2", "jaccard"
         )
-        out = out.localCheckpoint(eager=True)
-        sigs.unpersist()
-        return out
+    # join verify consumes the candidate list 3x — materialize it once
     cand = _materialize_small(
         _simhash_candidates(sigs, max_hamming, group_size, max_tables)
     )
-    sigs.unpersist()
     verified = _pair_jaccard(df, id_col, text_col, n, cand, eager=True)
     cand.unpersist()
     return verified.filter(F.col("jaccard") >= verify_threshold).select(
