@@ -60,7 +60,12 @@ def _njp_load_side(path: str):
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    t = pq.read_table(path, columns=["doc", "sz", "_hs"])
+    # use_threads=False: every reused worker on the host loads the side at
+    # once; with pyarrow's default per-process thread pool that is
+    # workers × cpus threads thrashing one tmpfs directory (measured 3.6 s
+    # first-call medians vs 0.5 s warm) — single-threaded reads of a few
+    # tens of MB are faster and contention-free
+    t = pq.read_table(path, columns=["doc", "sz", "_hs"], use_threads=False)
     doc = t.column("doc").to_numpy(zero_copy_only=False)
     sz = t.column("sz").to_numpy(zero_copy_only=False)
     flat, lens = [], []
@@ -285,19 +290,24 @@ def ngram_jaccard_pairs(
                     continue
                 ends = np.cumsum(cnt)
                 pos = np.arange(tot) + np.repeat(lo - (ends - cnt), cnt)
-                key = np.repeat(ad, cnt) * nb + bidx[pos]
+                a_rep = np.repeat(ad, cnt)
+                b_hit = bidx[pos]
+                # keep only b_doc > a_doc BEFORE the unique: drops self-matches
+                # and the mirrored direction (each unordered pair survives in
+                # exactly the chunk holding its smaller doc), halving the sort
+                # volume of the counting unique — and making every output pair
+                # globally unique with no distinct afterwards
+                fwd = b_doc[b_hit] > a_doc[a_rep]
+                if not fwd.any():
+                    continue
+                key = a_rep[fwd] * nb + b_hit[fwd]
                 uk, inter = np.unique(key, return_counts=True)
                 ai = uk // nb
                 bi = uk - ai * nb
-                id1v, id2v = a_doc[ai], b_doc[bi]
-                keep = id1v < id2v
-                if not keep.any():
-                    continue
-                inter = inter[keep]
-                jac = inter / (a_sz[ai[keep]] + b_sz[bi[keep]] - inter)
+                jac = inter / (a_sz[ai] + b_sz[bi] - inter)
                 ok = jac >= thr
                 yield pd.DataFrame(
-                    {"id1": id1v[keep][ok], "id2": id2v[keep][ok], "jaccard": jac[ok]}
+                    {"id1": a_doc[ai[ok]], "id2": b_doc[bi[ok]], "jaccard": jac[ok]}
                 )
 
     return a.mapInPandas(kernel, out_schema)
@@ -763,7 +773,7 @@ def _sim_load_side(path: str):
         return hit[1]
     import pyarrow.parquet as pq
 
-    t = pq.read_table(path, columns=["doc", "simhash"])
+    t = pq.read_table(path, columns=["doc", "simhash"], use_threads=False)
     doc = t.column("doc").to_numpy(zero_copy_only=False)
     sig = (
         t.column("simhash").to_numpy(zero_copy_only=False)
