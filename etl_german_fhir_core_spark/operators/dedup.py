@@ -19,7 +19,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from etl_german_fhir_core_spark.functions.text import normalize_text, tokenize_ws
 
